@@ -1,0 +1,241 @@
+"""Gopher/C4-style heuristic quality signals as NATIVE column expressions.
+
+Reference analogue: the rule-based detector
+(/root/reference/src/detectors/missing_data_rule_based.py:23-53) — fixed
+thresholds over computed rates, confidence = how far past the threshold.
+Here the unit is a web document (row) instead of a dataset, and every signal
+is a native Catalyst expression (whole-stage codegen, zero Python in the hot
+path).
+
+Each signal is defined TWICE, from one table of definitions:
+  * ``spark_signal_exprs`` — pyspark Column expressions
+  * ``duckdb_signal_sql``  — the equivalent DuckDB SQL fragments
+so the driver's DuckDB oracle and the Spark plan are generated from the same
+source of truth and cannot drift apart.
+
+All fractional signals are rounded to 6 decimals in BOTH engines so the
+driver's order-insensitive value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Gopher-style required stopwords ("at least 2 distinct of these 8").
+STOPWORDS_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+
+# Symbol characters for the symbol-to-word ratio (code/markup debris).
+# Deliberately avoids chars needing regex escapes so the same literal is a
+# valid pattern in Java regex (Spark) and RE2 (DuckDB) without backslashes.
+_SYMBOL_CLASS = "[#@{}<>|^~$%&*+=]"
+
+
+@dataclass(frozen=True)
+class GopherThresholds:
+    """Rule thresholds. Mirrors the reference's config-driven thresholds
+    (missing_data_rule_based.py:14-21, quality_thresholds.yaml) ported to
+    the Gopher/C4 web-text rule family."""
+
+    min_word_count: int = 50
+    max_word_count: int = 100_000
+    min_mean_word_length: float = 3.0
+    max_mean_word_length: float = 10.0
+    max_symbol_to_word_ratio: float = 0.1
+    min_distinct_stopwords: int = 2
+    min_alpha_word_frac: float = 0.8
+    max_dup_2gram_frac: float = 0.50
+    max_dup_3gram_frac: float = 0.45
+    max_dup_4gram_frac: float = 0.40
+    stopwords: tuple[str, ...] = field(default=tuple(STOPWORDS_REQUIRED))
+
+
+DEFAULT_THRESHOLDS = GopherThresholds()
+
+# ---------------------------------------------------------------------------
+# Spark side (native Catalyst expressions)
+# ---------------------------------------------------------------------------
+
+
+def _spark_words(text: str) -> str:
+    return f"split(trim({text}), '\\\\s+')"
+
+
+def _spark_ngrams(words: str, n: int) -> str:
+    """0-based Spark array subscript. Empty array when too few words."""
+    joined = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(n))
+    return (
+        f"case when size({words}) < {n} then array() "
+        f"else transform(sequence(0, size({words}) - {n}), i -> {joined}) end"
+    )
+
+
+def _spark_dup_frac(words: str, n: int) -> str:
+    ng = _spark_ngrams(words, n)
+    return (
+        f"case when size({words}) < {n} then cast(0.0 as double) else "
+        f"round(1.0 - cast(size(array_distinct({ng})) as double)"
+        f" / cast(size({ng}) as double), 6) end"
+    )
+
+
+def spark_signal_exprs(text_col: str = "text",
+                       th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str, Column]:
+    """Per-document quality signals as native Column expressions.
+
+    Returns an ordered dict name -> Column; attach with ``df.withColumns``.
+    """
+    t = text_col
+    words = _spark_words(t)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in th.stopwords) + ")"
+    wc = f"case when trim({t}) = '' or {t} is null then 0 else size({words}) end"
+    nospace = f"length(regexp_replace(coalesce({t}, ''), '\\\\s+', ''))"
+    exprs = {
+        "word_count": F.expr(wc).cast("int"),
+        "mean_word_len": F.expr(
+            f"case when ({wc}) = 0 then cast(0.0 as double) "
+            f"else round(cast({nospace} as double) / ({wc}), 6) end"
+        ),
+        "symbol_ratio": F.expr(
+            f"case when ({wc}) = 0 then cast(0.0 as double) "
+            f"else round(cast(regexp_count(coalesce({t}, ''), '{_SYMBOL_CLASS}') as double)"
+            f" / ({wc}), 6) end"
+        ),
+        "distinct_stopwords": F.expr(
+            f"case when ({wc}) = 0 then 0 "
+            f"else size(array_intersect({words}, {stop_arr})) end"
+        ).cast("int"),
+        "alpha_word_frac": F.expr(
+            f"case when ({wc}) = 0 then cast(0.0 as double) "
+            f"else round(cast(size(filter({words}, w -> w rlike '[a-zA-Z]')) as double)"
+            f" / ({wc}), 6) end"
+        ),
+        "dup_2gram_frac": F.expr(_spark_dup_frac(words, 2)),
+        "dup_3gram_frac": F.expr(_spark_dup_frac(words, 3)),
+        "dup_4gram_frac": F.expr(_spark_dup_frac(words, 4)),
+    }
+    return exprs
+
+
+def spark_rule_conditions(th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str, Column]:
+    """Reason-code -> fired-condition over the signal columns produced by
+    :func:`spark_signal_exprs`. Pure ``F.when`` material (reference M4/M5,
+    ensemble_classifier.py:91-139)."""
+    c = F.col
+    return {
+        "gopher.word_count": (c("word_count") < th.min_word_count)
+        | (c("word_count") > th.max_word_count),
+        "gopher.mean_word_length": (c("mean_word_len") < th.min_mean_word_length)
+        | (c("mean_word_len") > th.max_mean_word_length),
+        "gopher.symbol_ratio": c("symbol_ratio") > th.max_symbol_to_word_ratio,
+        "gopher.stopwords": c("distinct_stopwords") < th.min_distinct_stopwords,
+        "gopher.alpha_ratio": c("alpha_word_frac") < th.min_alpha_word_frac,
+        "gopher.dup_ngram": (c("dup_2gram_frac") > th.max_dup_2gram_frac)
+        | (c("dup_3gram_frac") > th.max_dup_3gram_frac)
+        | (c("dup_4gram_frac") > th.max_dup_4gram_frac),
+    }
+
+
+def spark_reasons_expr(conditions: dict[str, Column]) -> Column:
+    """Sorted array of fired reason codes (deterministic order)."""
+    parts = [F.when(cond, F.lit(code)) for code, cond in conditions.items()]
+    return F.array_sort(F.filter(F.array(*parts), lambda x: x.isNotNull()))
+
+
+def with_quality_signals(df, text_col: str = "text",
+                         th: GopherThresholds = DEFAULT_THRESHOLDS):
+    """Attach signal columns + ``reasons`` (array) + ``keep`` (bool)."""
+    df = df.withColumns(spark_signal_exprs(text_col, th))
+    reasons = spark_reasons_expr(spark_rule_conditions(th))
+    return df.withColumn("reasons", reasons).withColumn(
+        "keep", F.size("reasons") == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB side (oracle twins — same names, same rounding)
+# ---------------------------------------------------------------------------
+
+
+def _duck_words(text: str) -> str:
+    return f"regexp_split_to_array(trim({text}), '\\s+')"
+
+
+def _duck_ngrams(words: str, n: int) -> str:
+    """1-based DuckDB list subscript."""
+    joined = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(n))
+    return (
+        f"case when len({words}) < {n} then [] "
+        f"else list_transform(generate_series(1, len({words}) - {n - 1}), i -> {joined}) end"
+    )
+
+
+def _duck_dup_frac(words: str, n: int) -> str:
+    ng = _duck_ngrams(words, n)
+    return (
+        f"case when len({words}) < {n} then 0.0 else "
+        f"round(1.0 - len(list_distinct({ng}))::double / len({ng}), 6) end"
+    )
+
+
+def duckdb_signal_sql(text_col: str = "text",
+                      th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str, str]:
+    t = text_col
+    words = _duck_words(t)
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in th.stopwords) + "]"
+    wc = f"case when trim({t}) = '' or {t} is null then 0 else len({words}) end"
+    nospace = f"length(regexp_replace(coalesce({t}, ''), '\\s+', '', 'g'))"
+    return {
+        "word_count": f"({wc})::int",
+        "mean_word_len": (
+            f"case when ({wc}) = 0 then 0.0 "
+            f"else round(({nospace})::double / ({wc}), 6) end"
+        ),
+        "symbol_ratio": (
+            f"case when ({wc}) = 0 then 0.0 "
+            f"else round(len(regexp_extract_all(coalesce({t}, ''), '{_SYMBOL_CLASS}'))::double"
+            f" / ({wc}), 6) end"
+        ),
+        "distinct_stopwords": (
+            f"case when ({wc}) = 0 then 0 "
+            f"else len(list_intersect({words}, {stop_arr})) end::int"
+        ),
+        "alpha_word_frac": (
+            f"case when ({wc}) = 0 then 0.0 "
+            f"else round(len(list_filter({words}, w -> regexp_matches(w, '[a-zA-Z]')))::double"
+            f" / ({wc}), 6) end"
+        ),
+        "dup_2gram_frac": _duck_dup_frac(words, 2),
+        "dup_3gram_frac": _duck_dup_frac(words, 3),
+        "dup_4gram_frac": _duck_dup_frac(words, 4),
+    }
+
+
+def duckdb_rule_conditions(th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str, str]:
+    """Reason-code -> SQL condition over the aliased signal columns."""
+    return {
+        "gopher.word_count": (
+            f"(word_count < {th.min_word_count} or word_count > {th.max_word_count})"
+        ),
+        "gopher.mean_word_length": (
+            f"(mean_word_len < {th.min_mean_word_length}"
+            f" or mean_word_len > {th.max_mean_word_length})"
+        ),
+        "gopher.symbol_ratio": f"(symbol_ratio > {th.max_symbol_to_word_ratio})",
+        "gopher.stopwords": f"(distinct_stopwords < {th.min_distinct_stopwords})",
+        "gopher.alpha_ratio": f"(alpha_word_frac < {th.min_alpha_word_frac})",
+        "gopher.dup_ngram": (
+            f"(dup_2gram_frac > {th.max_dup_2gram_frac}"
+            f" or dup_3gram_frac > {th.max_dup_3gram_frac}"
+            f" or dup_4gram_frac > {th.max_dup_4gram_frac})"
+        ),
+    }
+
+
+def duckdb_reasons_sql(conditions: dict[str, str]) -> str:
+    parts = ", ".join(
+        f"case when {cond} then '{code}' end" for code, cond in conditions.items()
+    )
+    return f"list_sort(list_filter([{parts}], x -> x is not null))"
