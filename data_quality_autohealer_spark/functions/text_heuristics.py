@@ -130,7 +130,10 @@ def spark_rule_conditions(th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str
         "gopher.mean_word_length": (c("mean_word_len") < th.min_mean_word_length)
         | (c("mean_word_len") > th.max_mean_word_length),
         "gopher.symbol_ratio": c("symbol_ratio") > th.max_symbol_to_word_ratio,
-        "gopher.stopwords": c("distinct_stopwords") < th.min_distinct_stopwords,
+        # stopword rule is English-specific (Gopher's required-word list is
+        # English); apply only when the claimed language is English.
+        "gopher.stopwords": (c("lang") == F.lit("en"))
+        & (c("distinct_stopwords") < th.min_distinct_stopwords),
         "gopher.alpha_ratio": c("alpha_word_frac") < th.min_alpha_word_frac,
         "gopher.dup_ngram": (c("dup_2gram_frac") > th.max_dup_2gram_frac)
         | (c("dup_3gram_frac") > th.max_dup_3gram_frac)
@@ -224,7 +227,9 @@ def duckdb_rule_conditions(th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[st
             f" or mean_word_len > {th.max_mean_word_length})"
         ),
         "gopher.symbol_ratio": f"(symbol_ratio > {th.max_symbol_to_word_ratio})",
-        "gopher.stopwords": f"(distinct_stopwords < {th.min_distinct_stopwords})",
+        "gopher.stopwords": (
+            f"(lang = 'en' and distinct_stopwords < {th.min_distinct_stopwords})"
+        ),
         "gopher.alpha_ratio": f"(alpha_word_frac < {th.min_alpha_word_frac})",
         "gopher.dup_ngram": (
             f"(dup_2gram_frac > {th.max_dup_2gram_frac}"

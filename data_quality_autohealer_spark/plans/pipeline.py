@@ -1,0 +1,128 @@
+"""The end-to-end quality-filter pipeline: profile → detect → remediate →
+checkpoint, as ONE Spark job graph.
+
+Reference analogue: run_auto_healing.py:16-131 (generate → profile → detect →
+remediate → validate), re-expressed Spark-first. The scoring stage is
+shuffle-free (partition-parallel: native exprs + one Arrow UDF crossing);
+the only shuffle is the per-bucket metrics groupBy. Column pruning matters:
+the scoring path never reads ``html`` (BINARY) — only url/text/lang/warc_ts
+reach the scan.
+
+Resume: before scoring, anti-join against buckets already present in the
+metrics table for this run_id (broadcast left_anti — the completed set is at
+most ``num_buckets`` rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text_heuristics as th
+from ..operators import decision as dec
+from ..operators import scoring
+from ..warehouse import Warehouse
+
+SCORED_COLUMNS = [
+    "url", "warc_ts", "lang", "bucket",
+    "word_count", "mean_word_len", "symbol_ratio", "distinct_stopwords",
+    "alpha_word_frac", "dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac",
+    "lang_pred", "lang_conf", "log_pplx",
+    "n_email", "n_ssn", "n_phone", "n_ip", "n_tox",
+    "scrubbed_text", "reasons", "keep",
+]
+
+
+def score_pages(
+    pages: DataFrame,
+    gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
+    model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
+    include_model_rules: bool = True,
+) -> DataFrame:
+    """DataFrame → DataFrame scorer (pure function; identical code path for
+    batch and Structured Streaming).
+
+    Deliberately selects only the needed columns first so Parquet/Iceberg
+    column pruning drops ``html`` at the scan.
+    """
+    cols = [c for c in ["url", "warc_ts", "text", "lang", "bucket"]
+            if c in pages.columns]
+    df = pages.select(*cols)
+    df = df.withColumns(th.spark_signal_exprs("text", gopher))
+    if include_model_rules:
+        df = scoring.with_model_scores(df, "text")
+    df = dec.with_decision(df, gopher, model,
+                           include_model_rules=include_model_rules)
+    keep_cols = [c for c in SCORED_COLUMNS if c in df.columns]
+    return df.select("text", *keep_cols)
+
+
+def bucket_metrics(scored: DataFrame, run_id: str) -> DataFrame:
+    """Per-bucket lineage + rule-hit metrics (the checkpoint rows).
+
+    One shuffle (groupBy bucket). Rule hits: explode reasons → two-level agg
+    with map_from_entries; partial aggregation happens map-side because
+    count/sum are all algebraic.
+    """
+    base = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("docs_dropped"),
+        F.map_from_arrays(
+            F.array(F.lit("email"), F.lit("ssn"), F.lit("phone"), F.lit("ip")),
+            F.array(F.sum("n_email"), F.sum("n_ssn"),
+                    F.sum("n_phone"), F.sum("n_ip")),
+        ).alias("pii_scrubbed"),
+    )
+    hits = (
+        scored.select("bucket", F.explode_outer("reasons").alias("reason"))
+        .where(F.col("reason").isNotNull())
+        .groupBy("bucket", "reason").count()
+        .groupBy("bucket")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("reason", F.col("count").cast("long")))
+        ).alias("rule_hits"))
+    )
+    return (
+        base.join(hits, on="bucket", how="left")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("completed_at", F.current_timestamp())
+        .select("run_id", "bucket", "docs_in", "docs_kept", "docs_dropped",
+                "rule_hits", "pii_scrubbed", "completed_at")
+    )
+
+
+def run_filter(
+    wh: Warehouse,
+    run_id: str,
+    pages_table: str = "pages",
+    clean_table: str = "pages_clean",
+    gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
+    model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
+) -> dict:
+    """Full run with resume. Returns summary counters."""
+    pages = wh.read_pages(pages_table)
+    todo = wh.resume_filter(pages, run_id)
+    scored = score_pages(todo, gopher, model)
+    # Cache the scored frame across the two sinks (clean write + metrics) so
+    # the expensive UDF stage runs once. At cluster scale prefer
+    # persist(StorageLevel.DISK_ONLY) or a two-pass read of the scored table.
+    scored = scored.persist()
+    try:
+        kept = scored.where(F.col("keep")).select(
+            "url", "warc_ts", "lang", "bucket",
+            F.col("scrubbed_text").alias("text"),
+            F.array_join("reasons", ",").alias("reasons_csv"),
+        )
+        wh.write_clean(kept, clean_table, run_id=run_id)
+        metrics = bucket_metrics(scored, run_id)
+        wh.append_metrics(metrics)
+        row = scored.agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+        ).collect()[0]
+        return {"run_id": run_id,
+                "docs_in": row["docs_in"] or 0,
+                "docs_kept": row["docs_kept"] or 0}
+    finally:
+        scored.unpersist()
