@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship quality-filter run on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + web-scale
+additions); each callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB twins. Spark expressions and DuckDB SQL for the
+heuristic/dedup operators are generated from the SAME definition tables in
+``data_quality_autohealer_spark.functions.text_heuristics`` /
+``operators.dedup`` so they cannot drift.
 """
 
 from __future__ import annotations
@@ -12,27 +14,559 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_autohealer_spark.functions import scrub as scrub_mod
+from data_quality_autohealer_spark.functions import text_heuristics as th
+from data_quality_autohealer_spark.operators import dedup, profiler, similarity
+from data_quality_autohealer_spark.operators.scoring import with_model_scores
+
+SF001 = "/root/testdata/sf0.001"
+
+# deterministic ANN query vector: embedding of vec_id = 0 (fetched per run)
+KNN_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter decision (heuristics + langid +
+    perplexity + scrub) over the documents table at sf0.001."""
+    docs = _docs(spark, SF001)
+    df = docs.withColumns(th.spark_signal_exprs("text"))
+    df = with_model_scores(df, "text")
+    from data_quality_autohealer_spark.operators.decision import with_decision
+    df = with_decision(df)
+    return df.select(
+        "doc_id", "lang", "word_count", "lang_pred", "log_pplx",
+        F.array_join("reasons", ",").alias("reasons_csv"), "keep",
+        "scrubbed_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared query-builder helpers
+# ---------------------------------------------------------------------------
+
+_SIGNAL_COLS = ["word_count", "mean_word_len", "symbol_ratio",
+                "distinct_stopwords", "alpha_word_frac",
+                "dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac"]
+
+
+def _duck_signals_cte(table: str = "documents") -> str:
+    sigs = th.duckdb_signal_sql("text")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in sigs.items())
+    return f"select doc_id, lang, {cols} from {table}"
+
+
+def _duck_reasons() -> str:
+    return th.duckdb_reasons_sql(th.duckdb_rule_conditions())
+
+
+def _q_quality_signals(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumns(th.spark_signal_exprs("text"))
+    return df.select("doc_id", *_SIGNAL_COLS)
+
+
+def _q_quality_decision(spark, sf_dir):
+    df = th.with_quality_signals(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "lang",
+        F.array_join("reasons", ",").alias("reasons_csv"), "keep")
+
+
+def _q_drop_summary(spark, sf_dir):
+    df = th.with_quality_signals(_docs(spark, sf_dir))
+    return (df.select(F.explode("reasons").alias("reason"))
+            .groupBy("reason").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q_severity_by_lang(spark, sf_dir):
+    # reference severity cuts: kafka_consumer.py:85-94 (0.9/0.8/0.6)
+    df = th.with_quality_signals(_docs(spark, sf_dir))
+    agg = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    ).withColumn("drop_rate", F.round(F.col("n_dropped") / F.col("n_docs"), 6))
+    sev = (F.when(F.col("drop_rate") > 0.9, "critical")
+           .when(F.col("drop_rate") > 0.8, "high")
+           .when(F.col("drop_rate") > 0.6, "medium")
+           .otherwise("low"))
+    return agg.withColumn("severity", sev)
+
+
+def _q_token_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumns(th.spark_signal_exprs("text"))
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("word_count").cast("long")).alias("total_tokens"),
+        F.round(F.avg("word_count"), 6).alias("avg_tokens"),
+    )
+
+
+_LANG_STOPS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den"],
+    "fr": ["le", "les", "et", "un", "une", "est", "dans", "pour"],
+    "es": ["el", "los", "y", "un", "una", "es", "por", "para"],
+}
+
+
+def _stop_count(engine: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_STOPS[lang])
+    if engine == "spark":
+        return (f"size(filter(split(trim(text), '\\\\s+'), "
+                f"w -> w in ({lst})))")
+    return (f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"w -> w in ({lst})))")
+
+
+def _langid_heur_case(engine: str) -> str:
+    s = {lg: _stop_count(engine, lg) for lg in _LANG_STOPS}
+    return (
+        f"case when {s['en']} >= {s['de']} and {s['en']} >= {s['fr']} "
+        f"and {s['en']} >= {s['es']} then 'en' "
+        f"when {s['de']} >= {s['fr']} and {s['de']} >= {s['es']} then 'de' "
+        f"when {s['fr']} >= {s['es']} then 'fr' else 'es' end"
+    )
+
+
+def _q_langid_stopword(spark, sf_dir):
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_langid_heur_case('spark')} as lang_heur")
+
+
+def _q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("fp"))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    return dedup.with_minhash(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=4).drop("text")
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    df = with_model_scores(_docs(spark, sf_dir), "text")
+    return df.select("doc_id", "scrubbed_text",
+                     "n_email", "n_ssn", "n_phone", "n_ip", "n_tox")
+
+
+def _q_profile_documents(spark, sf_dir):
+    return profiler.profile(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars"),
+        exact_percentiles=True)
+
+
+def _q_outlier_iqr(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiler.iqr_outliers(li, "l_extendedprice")
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ))
+
+
+def _q_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"))
+    # small dim side → broadcast join, no shuffle of the orders aggregate
+    return (rev.join(F.broadcast(cust),
+                     rev.o_custkey == cust.c_custkey)
+            .where(F.col("n_orders") >= 3)
+            .select("c_custkey", "c_name", "revenue", "n_orders"))
+
+
+def _q_missing_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profiler.profile(ev.select("event_type", "value", "props"),
+                            exact_percentiles=True)
+
+
+def _q_dist_shift_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mean_t"), F.stddev("value").alias("std_t"))
+    overall = ev.agg(F.avg("value").alias("mean_g"),
+                     F.stddev("value").alias("std_g"))
+    j = per_type.crossJoin(F.broadcast(overall))
+    return j.select(
+        "event_type",
+        F.round("mean_t", 6).alias("mean_value"),
+        F.round("std_t", 6).alias("std_value"),
+        F.round(F.abs(F.col("mean_t") - F.col("mean_g")) / F.col("std_g"), 6)
+        .alias("mean_shift"),
+        F.round(F.col("std_t") / F.col("std_g"), 6).alias("variance_ratio"),
+    )
+
+
+def _knn_query_vec(spark, sf_dir) -> list[float]:
+    row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") == 0).select("embedding").collect())
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def _q_knn_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, _knn_query_vec(spark, sf_dir), k=KNN_K)
+
+
+def _q_embedding_stats(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = F.expr(
+        "round(sqrt(aggregate(transform(embedding, x -> cast(x as double)), "
+        "cast(0.0 as double), (acc, x) -> acc + x * x)), 6)")
+    return (emb.withColumn("norm", norm).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    ))
+
+
+# ---- non-SQL-expressible (model UDFs / LSH): rows-only driver check --------
+
+
+def _q_langid_model(spark, sf_dir):
+    df = with_model_scores(_docs(spark, sf_dir).select("doc_id", "text"))
+    return df.select("doc_id", "lang_pred", "lang_conf")
+
+
+def _q_perplexity_model(spark, sf_dir):
+    df = with_model_scores(_docs(spark, sf_dir).select("doc_id", "text"))
+    return df.select("doc_id", "log_pplx")
+
+
+def _q_lsh_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_ann_topk(emb, _knn_query_vec(spark, sf_dir), k=KNN_K)
+
+
+def _q_pipeline_full(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    df = docs.withColumns(th.spark_signal_exprs("text"))
+    df = with_model_scores(df, "text")
+    from data_quality_autohealer_spark.operators.decision import with_decision
+    df = with_decision(df)
+    return df.select("doc_id", "keep",
+                     F.array_join("reasons", ",").alias("reasons_csv"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "quality_signals": _q_quality_signals,
+        "quality_decision": _q_quality_decision,
+        "quality_drop_summary": _q_drop_summary,
+        "quality_severity_by_lang": _q_severity_by_lang,
+        "token_stats_by_lang": _q_token_stats,
+        "langid_stopword_heuristic": _q_langid_stopword,
+        "doc_fingerprint": _q_fingerprint,
+        "exact_dedup_groups": _q_exact_dedup,
+        "minhash_signatures": _q_minhash,
+        "simhash": _q_simhash,
+        "pii_scrub": _q_pii_scrub,
+        "profile_documents": _q_profile_documents,
+        "outlier_iqr_lineitem": _q_outlier_iqr,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "profile_events": _q_missing_events,
+        "distribution_shift_events": _q_dist_shift_events,
+        "knn_cosine_topk": _q_knn_cosine,
+        "embedding_stats_by_label": _q_embedding_stats,
+        # rows-only (model UDFs / LSH — not ANSI-SQL-expressible):
+        "langid_model": _q_langid_model,
+        "perplexity_model": _q_perplexity_model,
+        "lsh_ann_topk": _q_lsh_ann,
+        "pipeline_full_decision": _q_pipeline_full,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _oracle_quality_signals() -> str:
+    sigs = th.duckdb_signal_sql("text")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in sigs.items())
+    return f"select doc_id, {cols} from documents"
+
+
+def _oracle_quality_decision() -> str:
+    reasons = _duck_reasons()
+    return f"""
+        with sig as ({_duck_signals_cte()})
+        select doc_id, lang,
+               coalesce(list_aggregate({reasons}, 'string_agg', ','), '')
+                   as reasons_csv,
+               len({reasons}) = 0 as keep
+        from sig
     """
-    return {}
+
+
+def _oracle_drop_summary() -> str:
+    reasons = _duck_reasons()
+    return f"""
+        with sig as ({_duck_signals_cte()}),
+        r as (select unnest({reasons}) as reason from sig)
+        select reason, count(*) as n_docs from r group by reason
+    """
+
+
+def _oracle_severity_by_lang() -> str:
+    reasons = _duck_reasons()
+    return f"""
+        with sig as ({_duck_signals_cte()}),
+        d as (select lang, len({reasons}) = 0 as keep from sig),
+        agg as (
+            select lang, count(*) as n_docs,
+                   sum(case when keep then 0 else 1 end)::bigint as n_dropped
+            from d group by lang
+        )
+        select lang, n_docs, n_dropped,
+               round(n_dropped::double / n_docs, 6) as drop_rate,
+               case when round(n_dropped::double / n_docs, 6) > 0.9 then 'critical'
+                    when round(n_dropped::double / n_docs, 6) > 0.8 then 'high'
+                    when round(n_dropped::double / n_docs, 6) > 0.6 then 'medium'
+                    else 'low' end as severity
+        from agg
+    """
+
+
+def _oracle_token_stats() -> str:
+    wc = th.duckdb_signal_sql("text")["word_count"]
+    return f"""
+        with t as (select lang, {wc} as word_count from documents)
+        select lang, count(*) as n_docs,
+               sum(word_count)::bigint as total_tokens,
+               round(avg(word_count), 6) as avg_tokens
+        from t group by lang
+    """
+
+
+def _oracle_pii_scrub() -> str:
+    # nested stages mirror scrub_series' sequential replacement order
+    parts = scrub_mod.duckdb_scrub_sql("text")
+    return f"""
+        select doc_id, {parts['scrubbed_text']} as scrubbed_text,
+               {parts['n_email']} as n_email, {parts['n_ssn']} as n_ssn,
+               {parts['n_phone']} as n_phone, {parts['n_ip']} as n_ip,
+               {parts['n_tox']} as n_tox
+        from documents
+    """
+
+
+def _oracle_profile_documents() -> str:
+    return """
+        select count(*)::bigint as row_count,
+               sum(case when doc_id is null then 1 else 0 end)::bigint as doc_id__nulls,
+               count(distinct doc_id)::bigint as doc_id__distinct,
+               round(avg(doc_id), 6) as doc_id__mean,
+               round(stddev_samp(doc_id), 6) as doc_id__stddev,
+               round(min(doc_id)::double, 6) as doc_id__min,
+               round(max(doc_id)::double, 6) as doc_id__max,
+               round(quantile_cont(doc_id, 0.25)::double, 6) as doc_id__q25,
+               round(quantile_cont(doc_id, 0.5)::double, 6) as doc_id__median,
+               round(quantile_cont(doc_id, 0.75)::double, 6) as doc_id__q75,
+               sum(case when text is null or text in ('', 'NaN', 'nan', 'None')
+                        then 1 else 0 end)::bigint as text__nulls,
+               count(distinct text)::bigint as text__distinct,
+               sum(case when lang is null or lang in ('', 'NaN', 'nan', 'None')
+                        then 1 else 0 end)::bigint as lang__nulls,
+               count(distinct lang)::bigint as lang__distinct,
+               sum(case when n_chars is null then 1 else 0 end)::bigint as n_chars__nulls,
+               count(distinct n_chars)::bigint as n_chars__distinct,
+               round(avg(n_chars), 6) as n_chars__mean,
+               round(stddev_samp(n_chars), 6) as n_chars__stddev,
+               round(min(n_chars)::double, 6) as n_chars__min,
+               round(max(n_chars)::double, 6) as n_chars__max,
+               round(quantile_cont(n_chars, 0.25)::double, 6) as n_chars__q25,
+               round(quantile_cont(n_chars, 0.5)::double, 6) as n_chars__median,
+               round(quantile_cont(n_chars, 0.75)::double, 6) as n_chars__q75,
+               round((sum(case when doc_id is null then 1 else 0 end)
+                    + sum(case when text is null or text in ('', 'NaN', 'nan', 'None') then 1 else 0 end)
+                    + sum(case when lang is null or lang in ('', 'NaN', 'nan', 'None') then 1 else 0 end)
+                    + sum(case when n_chars is null then 1 else 0 end))::double
+                    / (count(*) * 4), 6) as overall_missing_rate
+        from documents
+    """
+
+
+def _oracle_outlier_iqr() -> str:
+    return """
+        with q as (
+            select quantile_cont(l_extendedprice, 0.25) as q25,
+                   quantile_cont(l_extendedprice, 0.75) as q75
+            from lineitem
+        )
+        select round(q.q25, 6) as q25, round(q.q75, 6) as q75,
+               round(q.q25 - 3.0 * (q.q75 - q.q25), 6) as lo_fence,
+               round(q.q75 + 3.0 * (q.q75 - q.q25), 6) as hi_fence,
+               sum(case when l_extendedprice < q.q25 - 3.0 * (q.q75 - q.q25)
+                         or l_extendedprice > q.q75 + 3.0 * (q.q75 - q.q25)
+                        then 1 else 0 end)::bigint as outlier_count,
+               count(*)::bigint as row_count,
+               round(sum(case when l_extendedprice < q.q25 - 3.0 * (q.q75 - q.q25)
+                               or l_extendedprice > q.q75 + 3.0 * (q.q75 - q.q25)
+                              then 1 else 0 end)::double / count(*), 6) as outlier_rate
+        from lineitem, q
+        group by q.q25, q.q75
+    """
+
+
+def _oracle_profile_events() -> str:
+    return """
+        select count(*)::bigint as row_count,
+               sum(case when event_type is null or event_type in ('', 'NaN', 'nan', 'None')
+                        then 1 else 0 end)::bigint as event_type__nulls,
+               count(distinct event_type)::bigint as event_type__distinct,
+               sum(case when value is null or isnan(value) then 1 else 0 end)::bigint as value__nulls,
+               count(distinct value)::bigint as value__distinct,
+               round(avg(value), 6) as value__mean,
+               round(stddev_samp(value), 6) as value__stddev,
+               round(min(value)::double, 6) as value__min,
+               round(max(value)::double, 6) as value__max,
+               round(quantile_cont(value, 0.25)::double, 6) as value__q25,
+               round(quantile_cont(value, 0.5)::double, 6) as value__median,
+               round(quantile_cont(value, 0.75)::double, 6) as value__q75,
+               sum(case when props is null or props in ('', 'NaN', 'nan', 'None')
+                        then 1 else 0 end)::bigint as props__nulls,
+               count(distinct props)::bigint as props__distinct,
+               round((sum(case when event_type is null or event_type in ('', 'NaN', 'nan', 'None') then 1 else 0 end)
+                    + sum(case when value is null or isnan(value) then 1 else 0 end)
+                    + sum(case when props is null or props in ('', 'NaN', 'nan', 'None') then 1 else 0 end))::double
+                    / (count(*) * 3), 6) as overall_missing_rate
+        from events
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    wc = th.duckdb_signal_sql("text")["word_count"]
+    return {
+        "quality_signals": _oracle_quality_signals(),
+        "quality_decision": _oracle_quality_decision(),
+        "quality_drop_summary": _oracle_drop_summary(),
+        "quality_severity_by_lang": _oracle_severity_by_lang(),
+        "token_stats_by_lang": _oracle_token_stats(),
+        "langid_stopword_heuristic": (
+            f"select doc_id, {_langid_heur_case('duck')} as lang_heur "
+            f"from documents"
+        ),
+        "doc_fingerprint": "select doc_id, md5(text) as fp from documents",
+        "exact_dedup_groups": """
+            select md5(text) as text_hash, min(doc_id) as rep_id,
+                   count(*)::bigint as dup_count
+            from documents group by md5(text)
+        """,
+        "minhash_signatures": (
+            "select doc_id, "
+            + ", ".join(dedup.minhash_sig_exprs("text", 4, 3, "duck"))
+            + " from documents"
+        ),
+        "simhash": dedup.duckdb_simhash_sql("documents"),
+        "pii_scrub": _oracle_pii_scrub(),
+        "profile_documents": _oracle_profile_documents(),
+        "outlier_iqr_lineitem": _oracle_outlier_iqr(),
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity)::bigint as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*)::bigint as count_order
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            with rev as (
+                select o_custkey, round(sum(o_totalprice), 2) as revenue,
+                       count(*)::bigint as n_orders
+                from orders group by o_custkey
+            )
+            select c_custkey, c_name, revenue, n_orders
+            from rev join customer on o_custkey = c_custkey
+            where n_orders >= 3
+        """,
+        "profile_events": _oracle_profile_events(),
+        "distribution_shift_events": """
+            with g as (select avg(value) as mean_g, stddev_samp(value) as std_g
+                       from events),
+            t as (select event_type, avg(value) as mean_t,
+                         stddev_samp(value) as std_t
+                  from events group by event_type)
+            select event_type,
+                   round(mean_t, 6) as mean_value,
+                   round(std_t, 6) as std_value,
+                   round(abs(mean_t - g.mean_g) / g.std_g, 6) as mean_shift,
+                   round(std_t / g.std_g, 6) as variance_ratio
+            from t, g
+        """,
+        "knn_cosine_topk": _oracle_knn(),
+        "embedding_stats_by_label": """
+            with n as (
+                select label,
+                       round(sqrt(list_reduce(
+                           list_prepend(0.0::double,
+                               list_transform(embedding, x -> x::double * x::double)),
+                           (acc, x) -> acc + x)), 6) as norm
+                from embeddings
+            )
+            select label, count(*)::bigint as n_vecs,
+                   round(avg(norm), 4) as avg_norm,
+                   round(min(norm), 4) as min_norm,
+                   round(max(norm), 4) as max_norm
+            from n group by label
+        """,
+    }
+
+
+def _oracle_knn() -> str:
+    """DuckDB twin of cosine_topk with the query vector read from the table
+    itself (vec_id=0): same sequential fold, same rounding, same tie-break."""
+    return f"""
+        with q as (
+            select list_transform(embedding, x -> x::double) as qv
+            from embeddings where vec_id = 0
+        ),
+        scored as (
+            select vec_id,
+                   round(
+                     list_reduce(list_prepend(0.0::double,
+                       list_transform(generate_series(1, len(embedding)),
+                         i -> embedding[i]::double * q.qv[i])),
+                       (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_prepend(0.0::double,
+                          list_transform(embedding, x -> x::double * x::double)),
+                          (acc, x) -> acc + x))
+                        * sqrt(list_reduce(list_prepend(0.0::double,
+                          list_transform(q.qv, x -> x * x)),
+                          (acc, x) -> acc + x))), 6) as cosine_sim
+            from embeddings, q
+        )
+        select vec_id, cosine_sim from scored
+        order by cosine_sim desc, vec_id limit {KNN_K}
     """
-    return {}

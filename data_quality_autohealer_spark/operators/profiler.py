@@ -1,0 +1,152 @@
+"""Dataset profiler: the reference's ~50 metrics re-expressed as ONE fused
+aggregation (plus one follow-up pass for IQR outlier fences).
+
+Reference analogue — and the central performance fix over it:
+/root/reference/src/profilers/spark_profiler.py:84-230 issues one Spark job
+per column per feature family (a ``select(...).collect()`` inside a Python
+loop, plus repeated ``df.count()`` at :106/:136/:201). Here every per-column
+statistic is a column expression inside a SINGLE ``agg`` — one scan, one job,
+regardless of column count. At 100 TB this is the difference between 1 scan
+and ~10×#columns scans.
+
+Metric definitions preserved from the reference:
+  * null counts: F.sum(when(isNull,1)) — spark_profiler.py:102
+  * NaN-aware nulls for float cols — spark_profiler.py:148-149
+  * sentinel strings ('', 'NaN', 'nan', 'None') — spark_profiler.py:151-158
+  * mean/stddev/min/max — spark_profiler.py:94-98
+  * approx percentiles q25/q50/q75 — spark_profiler.py:99-101
+  * distinct counts — spark_profiler.py:103
+  * IQR outlier rate, fences = q ∓ mult·IQR, mult=3.0 —
+    spark_profiler.py:215-228 + quality_thresholds.yaml
+  * overall_missing_rate = total_nulls/(rows·cols) — spark_profiler.py:165-172
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SENTINELS = ["", "NaN", "nan", "None"]
+IQR_MULTIPLIER = 3.0
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+def _is_float(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.FloatType, T.DoubleType))
+
+
+def null_count_expr(name: str, dt: T.DataType):
+    c = F.col(name)
+    cond = c.isNull()
+    if _is_float(dt):
+        cond = cond | F.isnan(c)
+    elif isinstance(dt, T.StringType):
+        cond = cond | c.isin(SENTINELS)
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+def profile_exprs(df: DataFrame, exact_percentiles: bool = False,
+                  approx_distinct: bool = False) -> list:
+    """All per-column metrics as aggregate expressions for ONE agg() call.
+
+    ``approx_distinct=True`` swaps countDistinct for HLL++
+    (approx_count_distinct) — the deliberate exact→approx swap for the
+    10^12-row scale path (SURVEY §2.3 A3).
+    """
+    exprs = [F.count(F.lit(1)).alias("row_count")]
+    pct = "percentile" if exact_percentiles else "percentile_approx"
+    for f in df.schema.fields:
+        n = f.name
+        exprs.append(null_count_expr(n, f.dataType).alias(f"{n}__nulls"))
+        if approx_distinct:
+            exprs.append(F.approx_count_distinct(n).alias(f"{n}__distinct"))
+        else:
+            exprs.append(F.countDistinct(n).alias(f"{n}__distinct"))
+        if _is_numeric(f.dataType):
+            exprs += [
+                F.round(F.mean(n), 6).cast("double").alias(f"{n}__mean"),
+                F.round(F.stddev(n), 6).cast("double").alias(f"{n}__stddev"),
+                F.round(F.min(n).cast("double"), 6).alias(f"{n}__min"),
+                F.round(F.max(n).cast("double"), 6).alias(f"{n}__max"),
+                F.round(F.expr(f"{pct}({n}, 0.25)").cast("double"), 6)
+                .alias(f"{n}__q25"),
+                F.round(F.expr(f"{pct}({n}, 0.5)").cast("double"), 6)
+                .alias(f"{n}__median"),
+                F.round(F.expr(f"{pct}({n}, 0.75)").cast("double"), 6)
+                .alias(f"{n}__q75"),
+            ]
+    return exprs
+
+
+def profile(df: DataFrame, exact_percentiles: bool = False,
+            approx_distinct: bool = False) -> DataFrame:
+    """One-row profile frame (single scan, single job)."""
+    prof = df.agg(*profile_exprs(df, exact_percentiles, approx_distinct))
+    n_cols = len(df.columns)
+    null_cols = [F.col(f"{f.name}__nulls") for f in df.schema.fields]
+    total_nulls = null_cols[0]
+    for c in null_cols[1:]:
+        total_nulls = total_nulls + c
+    return prof.withColumn(
+        "overall_missing_rate",
+        F.round(total_nulls / (F.col("row_count") * F.lit(n_cols)), 6),
+    )
+
+
+def iqr_outliers(df: DataFrame, column: str,
+                 multiplier: float = IQR_MULTIPLIER) -> DataFrame:
+    """Two-pass IQR outlier census for one numeric column: exact percentiles
+    then fence-predicate count. Returns one row:
+    (q25, q75, lo_fence, hi_fence, outlier_count, row_count, outlier_rate).
+    """
+    q = df.agg(
+        F.expr(f"percentile({column}, 0.25)").alias("q25"),
+        F.expr(f"percentile({column}, 0.75)").alias("q75"),
+    ).collect()[0]
+    q25, q75 = float(q["q25"]), float(q["q75"])
+    iqr = q75 - q25
+    lo, hi = q25 - multiplier * iqr, q75 + multiplier * iqr
+    c = F.col(column)
+    return df.agg(
+        F.round(F.lit(q25), 6).alias("q25"),
+        F.round(F.lit(q75), 6).alias("q75"),
+        F.round(F.lit(lo), 6).alias("lo_fence"),
+        F.round(F.lit(hi), 6).alias("hi_fence"),
+        F.sum(F.when((c < lo) | (c > hi), 1).otherwise(0)).cast("long")
+        .alias("outlier_count"),
+        F.count(F.lit(1)).alias("row_count"),
+    ).withColumn(
+        "outlier_rate",
+        F.round(F.col("outlier_count") / F.col("row_count"), 6),
+    )
+
+
+def distribution_distance(current: DataFrame, baseline: DataFrame,
+                          columns: list[str]) -> DataFrame:
+    """Mean-shift (|μc−μb|/σb) and variance ratio per column vs a baseline
+    frame (reference: spark_profiler.py:273-289). Two single-pass aggs +
+    a tiny crossJoin of two 1-row frames (no data shuffle)."""
+    def agg_stats(df, tag):
+        ex = []
+        for col in columns:
+            ex += [F.mean(col).alias(f"{col}__mean_{tag}"),
+                   F.stddev(col).alias(f"{col}__std_{tag}")]
+        return df.agg(*ex)
+
+    cur, base = agg_stats(current, "c"), agg_stats(baseline, "b")
+    joined = cur.crossJoin(base)
+    out = []
+    for col in columns:
+        mc, mb = F.col(f"{col}__mean_c"), F.col(f"{col}__mean_b")
+        sc, sb = F.col(f"{col}__std_c"), F.col(f"{col}__std_b")
+        out += [
+            F.round(F.abs(mc - mb) / F.when(sb > 0, sb).otherwise(F.lit(1.0)), 6)
+            .alias(f"{col}__mean_shift"),
+            F.round(F.when(sb > 0, sc / sb).otherwise(F.lit(None)), 6)
+            .alias(f"{col}__variance_ratio"),
+        ]
+    return joined.select(*out)

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exactness baseline) and random-hyperplane LSH bucketing (the scale path).
+
+No reference analogue (the reference's KNNImputer,
+/root/reference/src/remediation/airflow_dags/missing_data_remediation.py:81-84,
+is driver-side sklearn); this is the web-scale ANN surface a training-data
+pipeline needs.
+
+Scale notes: brute force is one shuffle-free scan + a top-k (TakeOrdered —
+no full sort). LSH assigns each vector to a hyperplane-sign bucket via a
+vectorized pandas UDF (planes broadcast once per worker), so candidate
+generation is a bucket-equality join instead of a cross product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_sim_expr(vec_col: str, query: list[float]):
+    """Cosine similarity against a literal query vector, as a native
+    expression (zip_with product + aggregate sum — JVM-side, no UDF).
+    Sequential fold ⇒ deterministic summation order (oracle-stable)."""
+    q = "array(" + ", ".join(f"cast({x!r} as double)" for x in query) + ")"
+    v = f"transform({vec_col}, x -> cast(x as double))"
+    dot = (f"aggregate(zip_with({v}, {q}, (x, y) -> x * y), "
+           f"cast(0.0 as double), (acc, x) -> acc + x)")
+    nv = (f"sqrt(aggregate(transform({v}, x -> x * x), "
+          f"cast(0.0 as double), (acc, x) -> acc + x))")
+    # query norm via the SAME sequential fold (not numpy) so the DuckDB twin
+    # is bitwise-identical before rounding
+    nq = (f"sqrt(aggregate(transform({q}, x -> x * x), "
+          f"cast(0.0 as double), (acc, x) -> acc + x))")
+    return F.expr(f"round({dot} / ({nv} * {nq}), 6)")
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force exact top-k by cosine similarity (ties broken by id)."""
+    scored = df.select(
+        F.col(id_col), cosine_sim_expr(vec_col, query).alias("cosine_sim"))
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def duckdb_cosine_topk_sql(query: list[float], k: int = 10,
+                           table: str = "embeddings",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> str:
+    """Exact DuckDB twin: same fold order (list_reduce is sequential), same
+    rounding."""
+    q = "[" + ", ".join(f"{x!r}::double" for x in query) + "]"
+    v = f"list_transform({vec_col}, x -> x::double)"
+    dot = (f"list_reduce(list_prepend(0.0::double, "
+           f"list_transform(generate_series(1, len({vec_col})), "
+           f"i -> ({v})[i] * ({q})[i])), (acc, x) -> acc + x)")
+    nv = (f"sqrt(list_reduce(list_prepend(0.0::double, "
+          f"list_transform({v}, x -> x * x)), (acc, x) -> acc + x))")
+    nq = float(np.sqrt(np.dot(query, query)))
+    return f"""
+        select {id_col}, round({dot} / ({nv} * {nq!r}), 6) as cosine_sim
+        from {table}
+        order by cosine_sim desc, {id_col}
+        limit {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
+                    seed: int = 42, vec_col: str = "embedding") -> DataFrame:
+    """Attach an integer hyperplane-sign bucket; vectorized pandas UDF
+    (batch matmul), planes materialized once per worker."""
+
+    @F.pandas_udf("long")
+    def _bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = _planes(dim, n_planes, seed)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for vecs in batches:
+            m = np.stack(vecs.to_numpy())  # (B, dim) float
+            signs = (m.astype(np.float64) @ planes) > 0
+            yield pd.Series(signs @ weights, index=vecs.index)
+
+    return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
+
+
+def lsh_ann_topk(df: DataFrame, query: list[float], k: int = 10,
+                 n_planes: int = 12, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe)."""
+    dim = len(query)
+    planes = _planes(dim, n_planes, seed)
+    qsig = (np.asarray(query, dtype=np.float64) @ planes) > 0
+    qbucket = int((qsig @ (1 << np.arange(n_planes))).item())
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        for b in range(n_planes):
+            probes.add(qbucket ^ (1 << b))
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    cand = bucketed.where(F.col("lsh_bucket").isin(sorted(probes)))
+    scored = cand.select(
+        F.col(id_col), cosine_sim_expr(vec_col, query).alias("cosine_sim"))
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
