@@ -40,8 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full quality-filter decision (heuristics + langid +
     perplexity + scrub) over the documents table at sf0.001."""
     docs = _docs(spark, SF001)
-    df = docs.withColumns(th.spark_signal_exprs("text"))
-    df = with_model_scores(df, "text")
+    df = with_model_scores(docs, "text")  # emits signal + model columns
     from data_quality_autohealer_spark.operators.decision import with_decision
     df = with_decision(df)
     return df.select(
@@ -71,7 +70,7 @@ def _duck_reasons() -> str:
 
 
 def _q_quality_signals(spark, sf_dir):
-    df = _docs(spark, sf_dir).withColumns(th.spark_signal_exprs("text"))
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
     return df.select("doc_id", *_SIGNAL_COLS)
 
 
@@ -83,9 +82,19 @@ def _q_quality_decision(spark, sf_dir):
 
 
 def _q_drop_summary(spark, sf_dir):
+    # conditional aggregation instead of explode+groupBy: no row explosion,
+    # map-side partial agg of fixed-width counters (and avoids Spark's
+    # interpreted-mode Generate over a computed lambda-expression array)
     df = th.with_quality_signals(_docs(spark, sf_dir))
-    return (df.select(F.explode("reasons").alias("reason"))
-            .groupBy("reason").agg(F.count(F.lit(1)).alias("n_docs")))
+    codes = list(th.duckdb_rule_conditions().keys())
+    agg = df.agg(*[
+        F.sum(F.array_contains("reasons", c).cast("long")).alias(f"c{i}")
+        for i, c in enumerate(codes)
+    ])
+    stack = ", ".join(f"'{c}', c{i}" for i, c in enumerate(codes))
+    return (agg.selectExpr(
+        f"stack({len(codes)}, {stack}) as (reason, n_docs)")
+        .where(F.col("n_docs") > 0))
 
 
 def _q_severity_by_lang(spark, sf_dir):
@@ -103,7 +112,7 @@ def _q_severity_by_lang(spark, sf_dir):
 
 
 def _q_token_stats(spark, sf_dir):
-    df = _docs(spark, sf_dir).withColumns(th.spark_signal_exprs("text"))
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("word_count").cast("long")).alias("total_tokens"),
@@ -269,8 +278,7 @@ def _q_lsh_ann(spark, sf_dir):
 
 def _q_pipeline_full(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    df = docs.withColumns(th.spark_signal_exprs("text"))
-    df = with_model_scores(df, "text")
+    df = with_model_scores(docs, "text")
     from data_quality_autohealer_spark.operators.decision import with_decision
     df = with_decision(df)
     return df.select("doc_id", "keep",

@@ -1,0 +1,88 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus quality-filter pipeline throughput on a
+deterministic synthetic corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "filter_docs_per_sec": ..., "synth_docs": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from data_quality_autohealer_spark import synth  # noqa: E402
+from data_quality_autohealer_spark.plans import pipeline  # noqa: E402
+from data_quality_autohealer_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "quality_decision",
+    "quality_drop_summary",
+    "pii_scrub",
+    "pipeline_full_decision",
+    "profile_documents",
+    "outlier_iqr_lineitem",
+    "pricing_summary",
+    "top_customers",
+    "exact_dedup_groups",
+    "minhash_signatures",
+    "simhash",
+    "knn_cosine_topk",
+]
+
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="dqa-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # quality-filter throughput on the deterministic synthetic corpus
+    pages = synth.gen_pages_df(spark, SYNTH_DOCS, num_partitions=cpus * 2)
+    pages = pages.persist()
+    n_pages = pages.count()  # materialize generation outside the timed window
+    # warmup: spawn+warm every Python worker (long-running executors amortize
+    # this over the whole corpus at cluster scale; we measure steady state)
+    pipeline.score_pages(pages).where("keep").count()
+    t0 = time.perf_counter()
+    scored = pipeline.score_pages(pages)
+    kept = scored.where("keep").count()
+    filter_sec = time.perf_counter() - t0
+    pages.unpersist()
+    timings["synth_filter"] = round(filter_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline queries + quality-filter wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "synth_docs": n_pages,
+        "synth_docs_kept": kept,
+        "filter_docs_per_sec": round(n_pages / filter_sec, 1),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

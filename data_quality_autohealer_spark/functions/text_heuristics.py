@@ -85,38 +85,83 @@ def spark_signal_exprs(text_col: str = "text",
                        th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str, Column]:
     """Per-document quality signals as native Column expressions.
 
-    Returns an ordered dict name -> Column; attach with ``df.withColumns``.
+    Returned dict includes staged intermediate columns (prefixed ``_``) —
+    ``words`` and one n-gram array per order — so each expensive subexpression
+    is computed ONCE. Catalyst's CollapseProject will not inline a non-cheap
+    alias referenced more than once (collapseProjectAlwaysInline=false), so
+    the staging survives optimization; without it the split/transform chains
+    are textually duplicated ~30× and whole-stage codegen compile time
+    explodes. Attach with :func:`with_quality_signals`, which drops the
+    temp columns.
     """
     t = text_col
-    words = _spark_words(t)
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in th.stopwords) + ")"
-    wc = f"case when trim({t}) = '' or {t} is null then 0 else size({words}) end"
+    wc = "_wc"
     nospace = f"length(regexp_replace(coalesce({t}, ''), '\\\\s+', ''))"
-    exprs = {
-        "word_count": F.expr(wc).cast("int"),
+    exprs: dict[str, Column] = {}
+    exprs.update({
+        "word_count": F.col("_wc").cast("int"),
         "mean_word_len": F.expr(
-            f"case when ({wc}) = 0 then cast(0.0 as double) "
-            f"else round(cast({nospace} as double) / ({wc}), 6) end"
+            f"case when {wc} = 0 then cast(0.0 as double) "
+            f"else round(cast({nospace} as double) / {wc}, 6) end"
         ),
         "symbol_ratio": F.expr(
-            f"case when ({wc}) = 0 then cast(0.0 as double) "
+            f"case when {wc} = 0 then cast(0.0 as double) "
             f"else round(cast(regexp_count(coalesce({t}, ''), '{_SYMBOL_CLASS}') as double)"
-            f" / ({wc}), 6) end"
+            f" / {wc}, 6) end"
         ),
         "distinct_stopwords": F.expr(
-            f"case when ({wc}) = 0 then 0 "
-            f"else size(array_intersect({words}, {stop_arr})) end"
+            f"case when {wc} = 0 then 0 "
+            f"else size(array_intersect(_words, {stop_arr})) end"
         ).cast("int"),
         "alpha_word_frac": F.expr(
-            f"case when ({wc}) = 0 then cast(0.0 as double) "
-            f"else round(cast(size(filter({words}, w -> w rlike '[a-zA-Z]')) as double)"
-            f" / ({wc}), 6) end"
+            f"case when {wc} = 0 then cast(0.0 as double) "
+            f"else round(cast(size(filter(_words, w -> w rlike '[a-zA-Z]')) as double)"
+            f" / {wc}, 6) end"
         ),
-        "dup_2gram_frac": F.expr(_spark_dup_frac(words, 2)),
-        "dup_3gram_frac": F.expr(_spark_dup_frac(words, 3)),
-        "dup_4gram_frac": F.expr(_spark_dup_frac(words, 4)),
-    }
+    })
+    for n in (2, 3, 4):
+        exprs[f"dup_{n}gram_frac"] = F.expr(
+            f"case when size(_words) < {n} then cast(0.0 as double) else "
+            f"round(1.0 - cast(size(array_distinct(_ng{n})) as double)"
+            f" / cast(size(_ng{n}) as double), 6) end"
+        )
     return exprs
+
+
+TEMP_SIGNAL_COLS = ["_words", "_wc", "_ng2", "_ng3", "_ng4"]
+
+SIGNAL_COLS = [
+    "word_count", "mean_word_len", "symbol_ratio", "distinct_stopwords",
+    "alpha_word_frac", "dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac",
+]
+
+
+def with_signal_columns(df, text_col: str = "text",
+                        th: GopherThresholds = DEFAULT_THRESHOLDS,
+                        include_dup: bool = True):
+    """Attach the signal columns, staging the expensive intermediates
+    (words array, per-order n-gram arrays) as separate projections. Temp
+    columns are dropped.
+
+    ``include_dup=False`` skips the dup-n-gram-frac expressions — used by the
+    pipeline hot path, where those three signals come out of the scoring
+    pandas UDF instead (same values; see operators.scoring.dup_ngram_fracs).
+    """
+    t = text_col
+    df = df.withColumn("_words", F.expr(_spark_words(t)))
+    df = df.withColumn("_wc", F.expr(
+        f"case when trim({t}) = '' or {t} is null then 0 else size(_words) end"))
+    exprs = spark_signal_exprs(t, th)
+    if include_dup:
+        df = df.withColumns({
+            f"_ng{n}": F.expr(_spark_ngrams("_words", n)) for n in (2, 3, 4)})
+        df = df.withColumns(exprs)
+        return df.drop(*TEMP_SIGNAL_COLS)
+    for n in (2, 3, 4):
+        exprs.pop(f"dup_{n}gram_frac")
+    df = df.withColumns(exprs)
+    return df.drop("_words", "_wc")
 
 
 def spark_rule_conditions(th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str, Column]:
@@ -150,7 +195,7 @@ def spark_reasons_expr(conditions: dict[str, Column]) -> Column:
 def with_quality_signals(df, text_col: str = "text",
                          th: GopherThresholds = DEFAULT_THRESHOLDS):
     """Attach signal columns + ``reasons`` (array) + ``keep`` (bool)."""
-    df = df.withColumns(spark_signal_exprs(text_col, th))
+    df = with_signal_columns(df, text_col, th)
     reasons = spark_reasons_expr(spark_rule_conditions(th))
     return df.withColumn("reasons", reasons).withColumn(
         "keep", F.size("reasons") == 0

@@ -48,9 +48,14 @@ def score_pages(
     cols = [c for c in ["url", "warc_ts", "text", "lang", "bucket"]
             if c in pages.columns]
     df = pages.select(*cols)
-    df = df.withColumns(th.spark_signal_exprs("text", gopher))
     if include_model_rules:
+        # ALL per-doc text signals ride in the one scoring UDF crossing
+        # (tokens split once per doc in batched Python — ~50× cheaper than
+        # Spark's interpreted higher-order functions; native-expr twins are
+        # asserted equal in tests and used for SQL-oracle-checked queries)
         df = scoring.with_model_scores(df, "text")
+    else:
+        df = th.with_signal_columns(df, "text", gopher)
     df = dec.with_decision(df, gopher, model,
                            include_model_rules=include_model_rules)
     keep_cols = [c for c in SCORED_COLUMNS if c in df.columns]
@@ -60,10 +65,17 @@ def score_pages(
 def bucket_metrics(scored: DataFrame, run_id: str) -> DataFrame:
     """Per-bucket lineage + rule-hit metrics (the checkpoint rows).
 
-    One shuffle (groupBy bucket). Rule hits: explode reasons → two-level agg
-    with map_from_entries; partial aggregation happens map-side because
-    count/sum are all algebraic.
+    ONE shuffle (groupBy bucket), no row explosion: rule hits are conditional
+    sums (one fixed-width counter per reason code), assembled into the map
+    after aggregation. All sums are algebraic → map-side partial aggregation;
+    shuffle volume is O(buckets × codes), independent of document count.
     """
+    from ..operators.decision import REASON_CODES
+
+    hit_sums = [
+        F.sum(F.array_contains("reasons", c).cast("long")).alias(f"_hit_{i}")
+        for i, c in enumerate(REASON_CODES)
+    ]
     base = scored.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("docs_in"),
         F.sum(F.col("keep").cast("long")).alias("docs_kept"),
@@ -73,18 +85,14 @@ def bucket_metrics(scored: DataFrame, run_id: str) -> DataFrame:
             F.array(F.sum("n_email"), F.sum("n_ssn"),
                     F.sum("n_phone"), F.sum("n_ip")),
         ).alias("pii_scrubbed"),
+        *hit_sums,
     )
-    hits = (
-        scored.select("bucket", F.explode_outer("reasons").alias("reason"))
-        .where(F.col("reason").isNotNull())
-        .groupBy("bucket", "reason").count()
-        .groupBy("bucket")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("reason", F.col("count").cast("long")))
-        ).alias("rule_hits"))
+    rule_hits = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in REASON_CODES]),
+        F.array(*[F.col(f"_hit_{i}") for i in range(len(REASON_CODES))]),
     )
     return (
-        base.join(hits, on="bucket", how="left")
+        base.withColumn("rule_hits", rule_hits)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("completed_at", F.current_timestamp())
         .select("run_id", "bucket", "docs_in", "docs_kept", "docs_dropped",

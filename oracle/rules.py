@@ -32,11 +32,17 @@ _SYMBOL_RE = re.compile(_SYMBOL_CLASS)
 _WS_RE = re.compile(r"\s+")
 
 
+def _round6(x: float) -> float:
+    """HALF_UP to 6dp (matches Spark round(); Python round is HALF_EVEN)."""
+    import math
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _dup_frac(words: list[str], n: int) -> float:
     if len(words) < n:
         return 0.0
     grams = [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
-    return round(1.0 - len(set(grams)) / len(grams), 6)
+    return _round6(1.0 - len(set(grams)) / len(grams))
 
 
 def heuristic_signals(text: pd.Series,
@@ -47,12 +53,16 @@ def heuristic_signals(text: pd.Series,
     word_lists = [_WS_RE.split(t.strip()) if t.strip() else [] for t in s]
     wc = np.array([len(w) for w in word_lists], dtype=np.int64)
     out["word_count"] = wc.astype(np.int32)
+
+    def round6(arr):  # vectorized HALF_UP (matches Spark round())
+        return np.floor(arr * 1e6 + 0.5) / 1e6
+
     nospace = np.array([len(_WS_RE.sub("", t)) for t in s], dtype=np.float64)
-    out["mean_word_len"] = np.where(wc == 0, 0.0, np.round(
-        nospace / np.maximum(wc, 1), 6))
+    out["mean_word_len"] = np.where(wc == 0, 0.0, round6(
+        nospace / np.maximum(wc, 1)))
     nsym = np.array([len(_SYMBOL_RE.findall(t)) for t in s], dtype=np.float64)
-    out["symbol_ratio"] = np.where(wc == 0, 0.0, np.round(
-        nsym / np.maximum(wc, 1), 6))
+    out["symbol_ratio"] = np.where(wc == 0, 0.0, round6(
+        nsym / np.maximum(wc, 1)))
     stops = set(th.stopwords)
     out["distinct_stopwords"] = np.array(
         [0 if c == 0 else len(stops.intersection(w))
@@ -60,8 +70,8 @@ def heuristic_signals(text: pd.Series,
     nalpha = np.array(
         [sum(1 for x in w if _ALPHA_RE.search(x)) for w in word_lists],
         dtype=np.float64)
-    out["alpha_word_frac"] = np.where(wc == 0, 0.0, np.round(
-        nalpha / np.maximum(wc, 1), 6))
+    out["alpha_word_frac"] = np.where(wc == 0, 0.0, round6(
+        nalpha / np.maximum(wc, 1)))
     for n in (2, 3, 4):
         out[f"dup_{n}gram_frac"] = np.array(
             [_dup_frac(w, n) for w in word_lists], dtype=np.float64)
@@ -94,7 +104,8 @@ def reference_labels(
     out = pd.concat([pdf.reset_index(drop=True), sig.reset_index(drop=True)],
                     axis=1)
     if include_model_rules:
-        scores = score_batch(pdf["text"]).reset_index(drop=True)
+        from data_quality_autohealer_spark.operators.scoring import MODEL_FIELDS
+        scores = score_batch(pdf["text"]).reset_index(drop=True)[MODEL_FIELDS]
         out = pd.concat([out, scores], axis=1)
         fired = {k: v.reset_index(drop=True) for k, v in fired.items()}
         fired["langid"] = (
