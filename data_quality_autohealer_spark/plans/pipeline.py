@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import text_heuristics as th
 from ..operators import decision as dec
 from ..operators import scoring
-from ..warehouse import Warehouse
+from ..warehouse import METRICS_SCHEMA, Warehouse
 
 SCORED_COLUMNS = [
     "url", "warc_ts", "lang", "bucket",
@@ -122,15 +122,20 @@ def run_filter(
             F.col("scrubbed_text").alias("text"),
             F.array_join("reasons", ",").alias("reasons_csv"),
         )
+        # 1) commit the data, 2) checkpoint the metrics LAST (crash between
+        # the two ⇒ the bucket is rescored on resume and its clean partition
+        # rewritten idempotently via dynamic partition overwrite).
         wh.write_clean(kept, clean_table, run_id=run_id)
-        metrics = bucket_metrics(scored, run_id)
-        wh.append_metrics(metrics)
-        row = scored.agg(
-            F.count(F.lit(1)).alias("docs_in"),
-            F.sum(F.col("keep").cast("long")).alias("docs_kept"),
-        ).collect()[0]
+        # Collect the ≤num_buckets metric rows to the driver BEFORE appending:
+        # writing to the metrics path would invalidate this cached plan (its
+        # lineage READS that path for resume) and trigger a rescore that then
+        # sees its own checkpoint rows.
+        metrics_rows = bucket_metrics(scored, run_id).collect()
+        if metrics_rows:
+            wh.append_metrics(
+                wh.spark.createDataFrame(metrics_rows, METRICS_SCHEMA))
         return {"run_id": run_id,
-                "docs_in": row["docs_in"] or 0,
-                "docs_kept": row["docs_kept"] or 0}
+                "docs_in": sum(r["docs_in"] for r in metrics_rows),
+                "docs_kept": sum(r["docs_kept"] for r in metrics_rows)}
     finally:
         scored.unpersist()

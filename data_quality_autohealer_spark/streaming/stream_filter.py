@@ -1,0 +1,76 @@
+"""Structured Streaming variant of the quality filter.
+
+Reference analogue: the Kafka producer/consumer loop
+(/root/reference/src/streaming/kafka_producer.py:36-109,
+kafka_consumer.py:107-150) — JSON events over 3 topics with a synchronous
+flush per message (the reference's throughput ceiling). Re-expressed on
+Spark Structured Streaming: the scorer is the SAME ``DataFrame → DataFrame``
+function used in batch (plans.pipeline.score_pages), so batch/stream parity
+is by construction; micro-batches replace per-message flushes.
+
+Sources/sinks are parameterized: files (testable in this sandbox), Kafka
+(`readStream.format("kafka")` + from_json, documented path), or memory/rate
+for tests. Watermarking on ``warc_ts`` bounds state for the optional
+windowed per-host metrics aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import score_pages
+from ..synth import PAGES_SCHEMA_DDL
+
+
+def stream_pages_from_files(spark: SparkSession, path: str,
+                            max_files_per_trigger: int = 4) -> DataFrame:
+    """File-based streaming source over a pages directory (parquet)."""
+    return (spark.readStream
+            .schema(PAGES_SCHEMA_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_pages_from_kafka(spark: SparkSession, brokers: str,
+                            topic: str) -> DataFrame:
+    """Kafka source: JSON-encoded pages on ``topic`` (reference topic map,
+    kafka_producer.py:23-27). Requires the spark-sql-kafka package on the
+    cluster (not present in this sandbox)."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic).load())
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), PAGES_SCHEMA_DDL)
+        .alias("page")).select("page.*")
+
+
+def scored_stream(pages_stream: DataFrame) -> DataFrame:
+    """Apply the identical batch scorer to a streaming frame."""
+    return score_pages(pages_stream)
+
+
+def kept_writer(scored: DataFrame, out_path: str, checkpoint: str):
+    """Append kept documents to a parquet sink with exactly-once via the
+    streaming checkpoint (the streaming twin of the metrics-table resume)."""
+    kept = scored.where(F.col("keep")).select(
+        "url", "warc_ts", "lang",
+        F.col("scrubbed_text").alias("text"),
+    )
+    return (kept.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
+
+
+def windowed_host_metrics(scored: DataFrame, watermark: str = "10 minutes",
+                          window: str = "5 minutes") -> DataFrame:
+    """Optional stateful aggregation: per-host drop counts in event-time
+    windows, bounded by a watermark on warc_ts (late data beyond the
+    watermark is dropped — state cannot grow unboundedly)."""
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host")
+    return (scored
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window), host)
+            .agg(F.count(F.lit(1)).alias("docs_in"),
+                 F.sum(F.col("keep").cast("long")).alias("docs_kept")))

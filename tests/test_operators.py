@@ -1,0 +1,117 @@
+"""Dedup / similarity / profiler / multimodal operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_autohealer_spark.operators import (
+    dedup, multimodal, profiler, similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog", "en"),
+        (1, "the cat sat on the mat and looked at the dog", "en"),   # exact dup of 0
+        (2, "the cat sat on the mat and glanced at the dog", "en"),  # near dup
+        (3, "completely different text about spark query engines", "en"),
+        (4, "der schnelle braune fuchs springt über den faulen hund", "de"),
+        (5, "the cat sat on the mat and looked at the dog today", "en"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    assert len(groups) == 5  # 6 docs, one exact pair
+    dup = [g for g in groups if g["dup_count"] == 2]
+    assert len(dup) == 1 and dup[0]["rep_id"] == 0
+    deduped = dedup.exact_dedup(docs)
+    assert deduped.count() == 5
+    assert deduped.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(docs, k=8, rows_per_band=2,
+                                              shingle_n=2).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    # near-dups share most shingles -> likely in at least one band
+    assert any(p in pairs for p in [(0, 2), (0, 5), (1, 2), (1, 5), (2, 5)])
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_close_for_near_dups(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(40):
+        if i < 5:  # cluster near base
+            v = base + 0.05 * rng.standard_normal(8)
+        else:
+            v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v], i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"), base
+
+
+def test_cosine_topk_exact(embeddings):
+    df, base = embeddings
+    top = similarity.cosine_topk(df, [float(x) for x in base], k=5).collect()
+    ids = {r["vec_id"] for r in top}
+    assert ids == {0, 1, 2, 3, 4}
+    assert all(r["cosine_sim"] > 0.9 for r in top)
+
+
+def test_lsh_ann_recall(embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_ann_topk(
+        df, q, k=5, n_planes=8, probe_hamming=1).collect()]
+    # multi-probe LSH should recover most of the true top-5 cluster
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_profiler_single_job(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, float("nan"), ""),
+         (4, 40.0, "None")],
+        "id long, x double, s string")
+    prof = profiler.profile(df, exact_percentiles=True).collect()[0]
+    assert prof["row_count"] == 4
+    assert prof["x__nulls"] == 2        # NULL + NaN (reference NaN handling)
+    assert prof["s__nulls"] == 2        # '' + 'None' sentinels
+    assert prof["id__distinct"] == 4
+    assert prof["overall_missing_rate"] == pytest.approx(4 / 12, abs=1e-6)
+
+
+def test_multimodal_metadata(spark):
+    rows = [(i, "fake-image",
+             multimodal.make_fake_image(i, 64 + i, 48 + i, 3),
+             "image/fake") for i in range(6)]
+    rows.append((99, "image", b"\x89PNG...", "image/png"))  # real decoder → stub
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA_DDL)
+    meta = multimodal.extract_media_metadata(df).toPandas() \
+        .set_index("media_id").sort_index()
+    assert bool(meta.loc[0, "decode_ok"]) is True
+    assert int(meta.loc[2, "width"]) == 66
+    assert bool(meta.loc[99, "decode_ok"]) is False  # stub surfaces cleanly
+    assert (meta.loc[meta.index < 10, "n_bytes"] > 0).all()

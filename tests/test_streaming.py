@@ -1,0 +1,50 @@
+"""Structured Streaming variant: same scorer, micro-batch file source,
+exactly-once parquet sink via checkpoint."""
+
+import time
+
+import pyspark.sql.functions as F
+
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.plans.pipeline import score_pages
+from data_quality_autohealer_spark.streaming import stream_filter
+
+N = 800
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth.gen_pages_df(spark, N, num_partitions=4)
+    pages.write.parquet(src)
+
+    stream = stream_filter.stream_pages_from_files(spark, src,
+                                                   max_files_per_trigger=2)
+    assert stream.isStreaming
+    scored = stream_filter.scored_stream(stream)
+    q = stream_filter.kept_writer(scored, out, ckpt).start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            break
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    expected = score_pages(spark.read.parquet(src)).where("keep")
+    assert got.count() == expected.count()
+    # url sets identical between the batch and streaming paths
+    diff = got.select("url").exceptAll(expected.select("url")).count()
+    assert diff == 0
+
+
+def test_windowed_host_metrics_plan(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    synth.gen_pages_df(spark, 200, num_partitions=2).write.parquet(src)
+    stream = stream_filter.stream_pages_from_files(spark, src)
+    agg = stream_filter.windowed_host_metrics(
+        stream_filter.scored_stream(stream))
+    assert agg.isStreaming
+    assert {"window", "host", "docs_in", "docs_kept"} <= set(agg.columns)

@@ -1,0 +1,66 @@
+"""Resume contract (north_rule): a killed job resumes without rescoring
+completed partitions. Mirrors SURVEY §5.2.4."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.plans.pipeline import (
+    bucket_metrics, run_filter, score_pages,
+)
+from data_quality_autohealer_spark.warehouse import Warehouse
+
+N = 2000
+BUCKETS = 8
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "wh"), num_buckets=BUCKETS)
+    pages = synth.gen_pages_df(spark, N, num_partitions=4)
+    w.write_pages(pages)
+    return w
+
+
+def test_full_run_writes_clean_and_metrics(wh, spark):
+    summary = run_filter(wh, "run1")
+    assert summary["docs_in"] == N
+    clean = wh.read_clean()
+    assert clean.count() == summary["docs_kept"] > 0
+    m = wh.read_metrics().where(F.col("run_id") == "run1")
+    rows = m.collect()
+    assert {r["bucket"] for r in rows} == set(range(BUCKETS))
+    assert sum(r["docs_in"] for r in rows) == N
+    assert sum(r["docs_kept"] for r in rows) == summary["docs_kept"]
+    hits = rows[0]["rule_hits"]
+    assert set(hits) >= {"gopher.word_count", "langid", "perplexity"}
+
+
+def test_resume_skips_completed_buckets(wh, spark):
+    # simulate a killed run: checkpoint metrics for buckets 0..3 only
+    pages = wh.read_pages()
+    part = pages.where(F.col("bucket") < 4)
+    scored = score_pages(part)
+    wh.append_metrics(bucket_metrics(scored, "run2"))
+
+    todo = wh.resume_filter(pages, "run2")
+    todo_buckets = {r["bucket"] for r in todo.select("bucket").distinct().collect()}
+    assert todo_buckets == {4, 5, 6, 7}
+
+    # full resume run completes the remaining buckets only
+    summary = run_filter(wh, "run2")
+    assert summary["docs_in"] == pages.where(F.col("bucket") >= 4).count()
+    m = wh.read_metrics().where(F.col("run_id") == "run2")
+    assert m.select("bucket").distinct().count() == BUCKETS
+    # re-run again: nothing left to do
+    summary2 = run_filter(wh, "run2")
+    assert summary2["docs_in"] == 0
+
+
+def test_bucket_assignment_is_stable(wh, spark):
+    a = wh.read_pages().select("url", "bucket")
+    b = wh.read_pages().select(
+        "url", F.pmod(F.xxhash64("url"), F.lit(BUCKETS)).cast("int")
+        .alias("bucket2"))
+    j = a.join(b, "url")
+    assert j.where(F.col("bucket") != F.col("bucket2")).count() == 0

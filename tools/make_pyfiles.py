@@ -1,0 +1,27 @@
+"""Build dist/dqa_spark.zip for ``spark-submit --py-files``."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "data_quality_autohealer_spark"
+
+
+def main() -> str:
+    out_dir = os.path.join(ROOT, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "dqa_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for base, _, files in os.walk(os.path.join(ROOT, PKG)):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
