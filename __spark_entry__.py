@@ -234,6 +234,56 @@ def _q_dist_shift_events(spark, sf_dir):
     )
 
 
+def _q_json_extract(spark, sf_dir):
+    # F4: JSON decode (reference: kafka_consumer.py:134 json.loads)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def _q_winsorize(spark, sf_dir):
+    # P6: winsorize/clip (reference: outlier_remediation.py:132-133), fences
+    # from exact percentiles, then greatest(least(...)) clipping
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.agg(F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+               F.expr("percentile(l_extendedprice, 0.95)").alias("hi")
+               ).collect()[0]
+    lo, hi = float(q["lo"]), float(q["hi"])
+    clipped = F.greatest(F.least(F.col("l_extendedprice"), F.lit(hi)),
+                         F.lit(lo))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_type_coercion(spark, sf_dir):
+    # P7: try_cast coercion census (reference: type_mismatch.py:79-94)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.agg(
+        F.sum(F.expr("try_cast(event_type as double)").isNull().cast("long"))
+        .alias("event_type_uncastable"),
+        F.sum(F.expr("try_cast(get_json_object(props, '$.k') as double)")
+              .isNotNull().cast("long")).alias("props_k_castable"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_top_order_per_customer(spark, sf_dir):
+    # W3-style top-k: window row_number per customer
+    from pyspark.sql.window import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("top_price")))
+
+
 def _knn_query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where(F.col("vec_id") == 0).select("embedding").collect())
@@ -306,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_shift_events": _q_dist_shift_events,
         "knn_cosine_topk": _q_knn_cosine,
         "embedding_stats_by_label": _q_embedding_stats,
+        "json_extract_events": _q_json_extract,
+        "winsorize_lineitem": _q_winsorize,
+        "type_coercion_events": _q_type_coercion,
+        "top_order_per_customer": _q_top_order_per_customer,
         # rows-only (model UDFs / LSH — not ANSI-SQL-expressible):
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
@@ -534,6 +588,42 @@ def oracle_sql() -> dict[str, str]:
             from t, g
         """,
         "knn_cosine_topk": _oracle_knn(),
+        "json_extract_events": """
+            select event_id, json_extract_string(props, '$.k')::int as k
+            from events
+        """,
+        "winsorize_lineitem": """
+            with q as (
+                select quantile_cont(l_extendedprice, 0.05) as lo,
+                       quantile_cont(l_extendedprice, 0.95) as hi
+                from lineitem
+            )
+            select l_returnflag,
+                   round(avg(greatest(least(l_extendedprice, q.hi), q.lo)), 4)
+                       as avg_winsorized,
+                   round(avg(l_extendedprice), 4) as avg_raw,
+                   count(*)::bigint as n_rows
+            from lineitem, q
+            group by l_returnflag
+        """,
+        "type_coercion_events": """
+            select sum(case when try_cast(event_type as double) is null
+                            then 1 else 0 end)::bigint as event_type_uncastable,
+                   sum(case when try_cast(json_extract_string(props, '$.k')
+                                          as double) is not null
+                            then 1 else 0 end)::bigint as props_k_castable,
+                   count(*)::bigint as n_rows
+            from events
+        """,
+        "top_order_per_customer": """
+            select o_custkey, o_orderkey, round(o_totalprice, 2) as top_price
+            from (
+                select o_custkey, o_orderkey, o_totalprice,
+                       row_number() over (partition by o_custkey
+                           order by o_totalprice desc, o_orderkey asc) as rn
+                from orders
+            ) where rn = 1
+        """,
         "embedding_stats_by_label": """
             with n as (
                 select label,
