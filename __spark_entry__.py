@@ -284,6 +284,39 @@ def _q_top_order_per_customer(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("top_price")))
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    # BPE-ish subword token census: alpha runs, digit runs, single symbols
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{pat}')").cast("long").alias("bpe_tokens"),
+        F.expr("size(split(trim(text), '\\\\s+'))").cast("long")
+        .alias("ws_tokens"),
+    )
+
+
+_NEARDUP_COS = 0.30
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup pairs, blocked by label (same-label self-join)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+           "cast(0.0 as double), (acc, x) -> acc + x)")
+    nrm = ("sqrt(aggregate(transform({s}.v, x -> x * x), "
+           "cast(0.0 as double), (acc, x) -> acc + x))")
+    cos = f"round(({dot}) / ({nrm.format(s='a')} * {nrm.format(s='b')}), 6)"
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.expr(cos).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= _NEARDUP_COS))
+
+
 def _knn_query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where(F.col("vec_id") == 0).select("embedding").collect())
@@ -356,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_shift_events": _q_dist_shift_events,
         "knn_cosine_topk": _q_knn_cosine,
         "embedding_stats_by_label": _q_embedding_stats,
+        "token_count_bpe": _q_token_count_bpe,
+        "embedding_near_dup_pairs": _q_embedding_near_dup,
         "json_extract_events": _q_json_extract,
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
@@ -588,6 +623,40 @@ def oracle_sql() -> dict[str, str]:
             from t, g
         """,
         "knn_cosine_topk": _oracle_knn(),
+        "token_count_bpe": """
+            select doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::bigint
+                       as bpe_tokens,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::bigint as ws_tokens
+            from documents
+        """,
+        "embedding_near_dup_pairs": f"""
+            with e as (
+                select vec_id, label,
+                       list_transform(embedding, x -> x::double) as v
+                from embeddings
+            )
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(
+                     list_reduce(list_prepend(0.0::double,
+                       list_transform(generate_series(1, len(a.v)),
+                         i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_prepend(0.0::double,
+                          list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_prepend(0.0::double,
+                          list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))),
+                     6) as cosine_sim
+            from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+            where round(
+                     list_reduce(list_prepend(0.0::double,
+                       list_transform(generate_series(1, len(a.v)),
+                         i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_prepend(0.0::double,
+                          list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_prepend(0.0::double,
+                          list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))),
+                     6) >= {_NEARDUP_COS}
+        """,
         "json_extract_events": """
             select event_id, json_extract_string(props, '$.k')::int as k
             from events
