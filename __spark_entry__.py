@@ -356,7 +356,10 @@ def _q_perplexity_model(spark, sf_dir):
 
 def _q_lsh_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_ann_topk(emb, _knn_query_vec(spark, sf_dir), k=KNN_K)
+    # 6 planes → 64 buckets; 7 probe buckets cover ~10% of candidates at
+    # sf0.01 — enough for a meaningful approximate top-k
+    return similarity.lsh_ann_topk(emb, _knn_query_vec(spark, sf_dir),
+                                   k=KNN_K, n_planes=6)
 
 
 def _q_pipeline_full(spark, sf_dir):
