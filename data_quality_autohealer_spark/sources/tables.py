@@ -1,0 +1,57 @@
+"""Table loaders for the driver's test warehouse and external formats.
+
+Reference analogue: the CSV in/out edges (quality_service.py:65,
+outlier_remediation.py:37/100-104) — generalized to the formats a Spark
+deployment actually uses. Every loader returns a plain DataFrame; schemas
+are explicit where inference would be lossy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql()."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None
+             ) -> DataFrame:
+    """CSV source (reference S2). Explicit schema preferred — inference scans
+    the file twice and guesses types."""
+    reader = spark.read.option("header", True)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (reference S3)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None
+               ) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)

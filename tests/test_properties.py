@@ -1,0 +1,64 @@
+"""Property-based tests (SURVEY §5.2.3): scrub idempotence, decision
+invariance under row order / partitioning, metrics consistency."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.functions.scrub import scrub_series
+from data_quality_autohealer_spark.operators.scoring import (
+    heuristic_signal_batch,
+)
+from data_quality_autohealer_spark.functions.text_heuristics import (
+    DEFAULT_THRESHOLDS,
+)
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=["Cc"]),
+    max_size=400)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_scrub_idempotent(texts):
+    s = pd.Series(texts)
+    once = scrub_series(s)
+    twice = scrub_series(once["scrubbed_text"])
+    assert (once["scrubbed_text"] == twice["scrubbed_text"]).all()
+
+
+@given(st.lists(text_strategy, min_size=2, max_size=20),
+       st.randoms(use_true_random=False))
+@settings(max_examples=30, deadline=None)
+def test_signals_order_invariant(texts, rnd):
+    s = pd.Series(texts)
+    idx = list(range(len(texts)))
+    rnd.shuffle(idx)
+    a = heuristic_signal_batch(s, DEFAULT_THRESHOLDS.stopwords)
+    b = heuristic_signal_batch(s.iloc[idx].reset_index(drop=True),
+                               DEFAULT_THRESHOLDS.stopwords)
+    a_sorted = a.iloc[idx].reset_index(drop=True)
+    assert a_sorted.equals(b)
+
+
+@given(st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=20, deadline=None)
+def test_generator_pure_function_of_id(rid):
+    a = synth.gen_pages_pdf(np.array([rid]))
+    b = synth.gen_pages_pdf(np.array([rid, rid + 1]))
+    assert a.loc[0, "text"] == b.loc[0, "text"]
+    assert a.loc[0, "url"] == b.loc[0, "url"]
+
+
+def test_decision_partition_invariant(spark):
+    from data_quality_autohealer_spark.plans.pipeline import score_pages
+    pdf = synth.gen_pages_pdf(np.arange(400))
+    one = score_pages(
+        spark.createDataFrame(pdf[["url", "text", "lang"]]).coalesce(1))
+    many = score_pages(
+        spark.createDataFrame(pdf[["url", "text", "lang"]]).repartition(13))
+    a = {r["url"]: (r["keep"], tuple(r["reasons"])) for r in one.collect()}
+    b = {r["url"]: (r["keep"], tuple(r["reasons"])) for r in many.collect()}
+    assert a == b
