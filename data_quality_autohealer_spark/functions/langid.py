@@ -25,7 +25,7 @@ HASH_DIM = 1 << 16
 NGRAM_ORDERS = (3,)
 _ALPHA = 0.1  # additive smoothing
 
-LANGS = ("en", "de", "fr", "es", "it", "nl")
+LANGS = ("en", "de", "fr", "es", "it", "nl", "zh")
 
 # Embedded seed corpora: a few hundred words of ordinary prose per language,
 # written for this project (public-knowledge sample text). Training data for
@@ -120,6 +120,15 @@ SEED_CORPORA: dict[str, str] = {
         "vroeg opengaan en buren elkaar met een glimlach begroeten voordat het "
         "werk van de dag begint een goed boek en een kop thee maken de avond "
         "aangenaam na een lange wandeling door de herfstbladeren op de grond"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒惰的狗 在清晨的阳光慢慢升起的时候 它跑过宽阔的绿色田野 "
+        "人们每天沿着河边散步 看河水从古老的石桥下流过 孩子们在学校附近的公园里玩耍 "
+        "老师向学生讲解历史 科学和文学 学生们认真听讲 提出许多关于我们生活的世界的问题 "
+        "因为学习新的知识带来快乐和理解 今天天气温暖 西边吹来柔和的风 白云高高地飘在安静的小镇上空 "
+        "商店很早就开门 邻居们在一天的工作开始之前微笑着互相问候 "
+        "一本好书和一杯茶让晚上变得愉快 秋天的落叶铺满地面 红色和金色交织在一起 "
+        "傍晚的时候 人们回到家里 和家人一起吃饭 谈论一天发生的事情 然后安静地休息"
     ),
 }
 

@@ -25,7 +25,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .functions.langid import LANGS, SEED_CORPORA
+from .functions.langid import SEED_CORPORA
+
+# space-delimited languages only (the word-based slice constructions need
+# splittable corpora); langid.LANGS additionally knows zh
+SYNTH_LANGS = ("en", "de", "fr", "es", "it", "nl")
 from .functions.scrub import TOXICITY_WORDS
 
 EPOCH_BASE = np.datetime64("2026-01-01T00:00:00")
@@ -36,7 +40,7 @@ PAGES_SCHEMA_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
-_WORDS = {lang: SEED_CORPORA[lang].split() for lang in LANGS}
+_WORDS = {lang: SEED_CORPORA[lang].split() for lang in SYNTH_LANGS}
 _CONSONANTS = np.array(list("bcdfgjklmnpqrstvwxz"))
 
 # Zipf inverse-CDF table over NUM_HOSTS hosts.
@@ -99,7 +103,7 @@ def _gen_text_one(rid: int, slice_id: int, lang: str, h: int) -> tuple[str, str]
     elif slice_id < 89:  # wrong-language: text lang != claimed
         wc = 60 + h % 200
         toks = _consecutive_words(words, h % len(words), wc)
-        others = [lg for lg in LANGS if lg != lang]
+        others = [lg for lg in SYNTH_LANGS if lg != lang]
         claimed = others[h % len(others)]
     elif slice_id < 94:  # word salad (same language, shuffled positions)
         wc = 60 + h % 150
@@ -134,7 +138,7 @@ def gen_pages_pdf(ids: np.ndarray) -> pd.DataFrame:
     n = len(ids)
     slice_ids = (ids % np.uint64(100)).astype(np.int64)
     h_arr = _u(ids, 1, 1 << 62)
-    lang_idx = _u(ids, 2, len(LANGS))
+    lang_idx = _u(ids, 2, len(SYNTH_LANGS))
     host_u = _u(ids, 3, 1 << 53).astype(np.float64) / float(1 << 53)
     host_rank = np.searchsorted(_ZIPF_CDF, host_u, side="left") + 1
 
@@ -142,7 +146,7 @@ def gen_pages_pdf(ids: np.ndarray) -> pd.DataFrame:
     claimed = np.empty(n, dtype=object)
     for i in range(n):
         texts[i], claimed[i] = _gen_text_one(
-            int(ids[i]), int(slice_ids[i]), LANGS[lang_idx[i]], int(h_arr[i])
+            int(ids[i]), int(slice_ids[i]), SYNTH_LANGS[lang_idx[i]], int(h_arr[i])
         )
     urls = np.array(
         [f"https://host{r}.example.com/p/{int(i)}" for r, i in zip(host_rank, ids)],
