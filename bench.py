@@ -35,6 +35,9 @@ HEADLINE = [
     "minhash_signatures",
     "simhash",
     "knn_cosine_topk",
+    "embedding_near_dup_pairs",
+    "token_count_bpe",
+    "top_order_per_customer",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

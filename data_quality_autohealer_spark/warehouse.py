@@ -113,8 +113,11 @@ class Warehouse:
         being written (dynamic partition overwrite) so a resumed run can
         rewrite a half-written bucket safely."""
         if self.use_iceberg:
-            df.writeTo(self._fqn(table)).createOrReplace() if run_id is None \
-                else df.writeTo(self._fqn(table)).overwritePartitions()
+            if run_id is None:
+                df.writeTo(self._fqn(table)).createOrReplace()
+            else:
+                # idempotent per-bucket rewrite on resume
+                df.writeTo(self._fqn(table)).overwritePartitions()
         else:
             (df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
