@@ -51,8 +51,9 @@ def _norm(v) -> str:
     return str(v)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None,
+         master: str = "local[8]", shuffle_partitions: int = 8):
+    spark = get_spark(master=master, shuffle_partitions=shuffle_partitions)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
