@@ -348,6 +348,15 @@ def _q_embedding_stats(spark, sf_dir):
 # ---- non-SQL-expressible (model UDFs / LSH): rows-only driver check --------
 
 
+def _q_profile_documents_approx(spark, sf_dir):
+    # the 10^12-row profile variant: HLL++ distinct + GK approx percentiles
+    # (deliberate exact→approx swaps, SURVEY §2.3 A2/A3; rows-only check —
+    # approximate answers have no deterministic SQL twin)
+    return profiler.profile(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars"),
+        exact_percentiles=False, approx_distinct=True)
+
+
 def _q_langid_model(spark, sf_dir):
     df = with_model_scores(_docs(spark, sf_dir).select("doc_id", "text"))
     return df.select("doc_id", "lang_pred", "lang_conf")
@@ -402,7 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
-        # rows-only (model UDFs / LSH — not ANSI-SQL-expressible):
+        # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
+        "profile_documents_approx": _q_profile_documents_approx,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,
