@@ -107,15 +107,20 @@ def run_filter(
     clean_table: str = "pages_clean",
     gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
     model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> dict:
-    """Full run with resume. Returns summary counters."""
+    """Full run with resume. Returns summary counters.
+
+    ``storage_level``: cache level for the scored frame shared by the two
+    sinks (clean write + metrics). Use "DISK_ONLY" at cluster scale — the
+    scored text of a whole bucket wave needn't fit executor memory.
+    """
+    from pyspark import StorageLevel
+
     pages = wh.read_pages(pages_table)
     todo = wh.resume_filter(pages, run_id)
     scored = score_pages(todo, gopher, model)
-    # Cache the scored frame across the two sinks (clean write + metrics) so
-    # the expensive UDF stage runs once. At cluster scale prefer
-    # persist(StorageLevel.DISK_ONLY) or a two-pass read of the scored table.
-    scored = scored.persist()
+    scored = scored.persist(getattr(StorageLevel, storage_level))
     try:
         kept = scored.where(F.col("keep")).select(
             "url", "warc_ts", "lang", "bucket",
