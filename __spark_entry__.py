@@ -193,9 +193,11 @@ def _q_outlier_iqr(spark, sf_dir):
 
 def _q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # money sums in integer cents: exact, accumulation-order-independent
     return (li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").cast("long").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.sum(F.expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+        .alias("sum_base_price_cents"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -206,13 +208,14 @@ def _q_top_customers(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rev = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum(F.expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+        .alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_orders"))
     # small dim side → broadcast join, no shuffle of the orders aggregate
     return (rev.join(F.broadcast(cust),
                      rev.o_custkey == cust.c_custkey)
             .where(F.col("n_orders") >= 3)
-            .select("c_custkey", "c_name", "revenue", "n_orders"))
+            .select("c_custkey", "c_name", "revenue_cents", "n_orders"))
 
 
 def _q_missing_events(spark, sf_dir):
@@ -348,6 +351,32 @@ def _q_embedding_stats(spark, sf_dir):
 # ---- non-SQL-expressible (model UDFs / LSH): rows-only driver check --------
 
 
+def _q_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 flavor: 3-way join (broadcast dim → shuffle fact), agg, filter
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+               orders.o_custkey == F.col("c_custkey")))
+    # integer-cents summation: exact and accumulation-order-independent
+    # (double sums differ in the last cent between engines/partitionings)
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as bigint)")
+    return (j.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(cents).alias("revenue_cents"))
+            .where(F.col("revenue_cents") > 100000 * 100))
+
+
+def _q_rollup_order_priority(spark, sf_dir):
+    # rollup (grouping sets) over order status/priority
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+                 .alias("total_price_cents")))
+
+
 def _q_profile_documents_approx(spark, sf_dir):
     # the 10^12-row profile variant: HLL++ distinct + GK approx percentiles
     # (deliberate exact→approx swaps, SURVEY §2.3 A2/A3; rows-only check —
@@ -418,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
+        "shipping_priority": _q_shipping_priority,
+        "rollup_order_priority": _q_rollup_order_priority,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
@@ -617,7 +648,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
             select l_returnflag, l_linestatus,
                    sum(l_quantity)::bigint as sum_qty,
-                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   sum(round(l_extendedprice * 100, 0)::bigint)
+                       as sum_base_price_cents,
                    round(avg(l_quantity), 4) as avg_qty,
                    round(avg(l_discount), 4) as avg_disc,
                    count(*)::bigint as count_order
@@ -625,11 +657,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             with rev as (
-                select o_custkey, round(sum(o_totalprice), 2) as revenue,
+                select o_custkey,
+                       sum(round(o_totalprice * 100, 0)::bigint) as revenue_cents,
                        count(*)::bigint as n_orders
                 from orders group by o_custkey
             )
-            select c_custkey, c_name, revenue, n_orders
+            select c_custkey, c_name, revenue_cents, n_orders
             from rev join customer on o_custkey = c_custkey
             where n_orders >= 3
         """,
@@ -717,6 +750,25 @@ def oracle_sql() -> dict[str, str]:
                            order by o_totalprice desc, o_orderkey asc) as rn
                 from orders
             ) where rn = 1
+        """,
+        "shipping_priority": """
+            select l_orderkey, o_orderdate,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       ::bigint) as revenue_cents
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+            group by l_orderkey, o_orderdate
+            having sum(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       ::bigint) > 10000000
+        """,
+        "rollup_order_priority": """
+            select o_orderstatus, o_orderpriority,
+                   count(*)::bigint as n_orders,
+                   sum(round(o_totalprice * 100, 0)::bigint) as total_price_cents
+            from orders
+            group by rollup(o_orderstatus, o_orderpriority)
         """,
         "embedding_stats_by_label": """
             with n as (
