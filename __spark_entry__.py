@@ -403,6 +403,13 @@ def _q_perplexity_model(spark, sf_dir):
     return df.select("doc_id", "log_pplx")
 
 
+def _q_ivf_ann(spark, sf_dir):
+    # IVF scale path: deterministic k-means coarse quantizer, probe 2 cells
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = similarity.IVFIndex.train(emb, k=8, n_iter=3)
+    return idx.topk(emb, _knn_query_vec(spark, sf_dir), k=KNN_K, nprobe=2)
+
+
 def _q_lsh_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # 6 planes → 64 buckets; 7 probe buckets cover ~10% of candidates at
@@ -455,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         "pipeline_full_decision": _q_pipeline_full,
     }
 

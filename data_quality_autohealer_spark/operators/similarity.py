@@ -70,6 +70,92 @@ def duckdb_cosine_topk_sql(query: list[float], k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file index: k-means coarse quantizer + probed search)
+# ---------------------------------------------------------------------------
+
+
+class IVFIndex:
+    """Coarse quantizer for ANN: deterministic k-means centroids trained
+    distributed (assignment executor-side via pandas UDF, centroid update
+    from per-partition partial sums — one pass per Lloyd iteration), then
+    top-k search probes only the ``nprobe`` nearest centroid cells.
+
+    Centroid init is splitmix-deterministic (hash-ranked sample), so the
+    index is reproducible across runs/partitionings.
+    """
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids  # (k, dim) float64, L2-normalized
+
+    @staticmethod
+    def _normalize(m: np.ndarray) -> np.ndarray:
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+    @classmethod
+    def train(cls, df: DataFrame, k: int = 16, n_iter: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> "IVFIndex":
+        # deterministic init: k vectors with smallest xxhash64(id)
+        seed_rows = (df.select(id_col, vec_col)
+                     .withColumn("_h", F.xxhash64(F.col(id_col)))
+                     .orderBy("_h").limit(k).collect())
+        cents = cls._normalize(np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]))
+        for _ in range(n_iter):
+            cents_b = cents  # captured in closure, shipped once per task
+
+            def partial_sums(batches: Iterator[pd.DataFrame]
+                             ) -> Iterator[pd.DataFrame]:
+                k_, d = cents_b.shape
+                sums = np.zeros((k_, d)); counts = np.zeros(k_, dtype=np.int64)
+                for pdf in batches:
+                    m = cls._normalize(np.stack(pdf[vec_col].to_numpy())
+                                       .astype(np.float64))
+                    assign = (m @ cents_b.T).argmax(axis=1)
+                    np.add.at(sums, assign, m)
+                    np.add.at(counts, assign, 1)
+                yield pd.DataFrame({
+                    "cid": np.arange(k_), "count": counts,
+                    "vsum": [x.tolist() for x in sums]})
+
+            parts = df.select(vec_col).mapInPandas(
+                partial_sums, schema="cid int, count long, vsum array<double>"
+            ).collect()
+            sums = np.zeros_like(cents); counts = np.zeros(len(cents))
+            for r in parts:
+                sums[r["cid"]] += np.asarray(r["vsum"])
+                counts[r["cid"]] += r["count"]
+            nonempty = counts > 0
+            cents[nonempty] = cls._normalize(
+                sums[nonempty] / counts[nonempty, None])
+        return cls(cents)
+
+    def with_cell(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        cents = self.centroids
+
+        @F.pandas_udf("int")
+        def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vecs in batches:
+                m = IVFIndex._normalize(
+                    np.stack(vecs.to_numpy()).astype(np.float64))
+                yield pd.Series((m @ cents.T).argmax(axis=1),
+                                index=vecs.index)
+
+        return df.withColumn("ivf_cell", _assign(F.col(vec_col)))
+
+    def topk(self, df: DataFrame, query: list[float], k: int = 10,
+             nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-30)
+        probe = np.argsort(-(self.centroids @ q))[:nprobe].tolist()
+        cand = self.with_cell(df, vec_col).where(
+            F.col("ivf_cell").isin(probe))
+        scored = cand.select(
+            F.col(id_col), cosine_sim_expr(vec_col, query).alias("cosine_sim"))
+        return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # ---------------------------------------------------------------------------
 

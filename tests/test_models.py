@@ -35,3 +35,21 @@ def test_training_is_deterministic():
     assert np.array_equal(a.weights, b.weights)
     pa, pb = PerplexityModel.train(), PerplexityModel.train()
     assert np.array_equal(pa.uni, pb.uni) and np.array_equal(pa.bi, pb.bi)
+
+
+def test_langid_heldout_slice_accuracy():
+    from data_quality_autohealer_spark.functions.langid import (
+        SEED_CORPORA, get_model,
+    )
+    m = get_model()
+    tests = []
+    for lang, corpus in SEED_CORPORA.items():
+        ws = corpus.split()
+        step = max(1, len(ws) // 12)
+        for i in range(0, len(ws) - 12, step):
+            for k in (5, 12):
+                tests.append((lang, " ".join(ws[i:i + k])))
+    s = pd.Series([t for _, t in tests])
+    pred = m.predict_series(s)
+    acc = np.mean([p == l for (l, _), p in zip(tests, pred["lang_pred"])])
+    assert acc >= 0.98, f"langid slice accuracy {acc:.3f}"

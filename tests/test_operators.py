@@ -136,3 +136,20 @@ def test_embedding_near_dup_fast_matches_exact(embeddings, spark):
         va, vb = vecs[a], vecs[b]
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert cos >= 0.9 - 1e-9
+
+
+def test_ivf_ann_recall(embeddings, spark):
+    df, base = embeddings
+    from data_quality_autohealer_spark.operators.similarity import (
+        IVFIndex, cosine_topk,
+    )
+    idx = IVFIndex.train(df, k=4, n_iter=3)
+    q = [float(x) for x in base]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    approx = [r["vec_id"] for r in idx.topk(df, q, k=5, nprobe=2).collect()]
+    # the planted cluster shares one cell; probing 2 of 4 cells finds it
+    assert len(set(exact) & set(approx)) >= 4
+    # index training is deterministic
+    idx2 = IVFIndex.train(df, k=4, n_iter=3)
+    import numpy as np
+    assert np.allclose(idx.centroids, idx2.centroids)
