@@ -100,6 +100,31 @@ def bucket_metrics(scored: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def quality_alerts(metrics: DataFrame) -> DataFrame:
+    """Alert rows derived from per-bucket metrics.
+
+    Reference analogue: the Kafka alert topic + severity mapping
+    (kafka_producer.py:send_quality_alert, kafka_consumer.py:83-94 severity
+    cuts 0.9/0.8/0.6). One alert per bucket whose drop rate crosses the
+    'medium' cut, with a JSON payload (F.to_json) mirroring the reference's
+    event shape.
+    """
+    rate = F.col("docs_dropped") / F.greatest(F.col("docs_in"), F.lit(1))
+    sev = (F.when(rate > 0.9, "critical")
+           .when(rate > 0.8, "high")
+           .when(rate > 0.6, "medium"))
+    return (metrics
+            .withColumn("severity", sev)
+            .where(F.col("severity").isNotNull())
+            .select(
+                "run_id", "bucket", "severity",
+                F.round(rate, 6).alias("drop_rate"),
+                F.to_json(F.struct(
+                    "run_id", "bucket", "docs_in", "docs_dropped",
+                    "rule_hits", "completed_at")).alias("payload"),
+            ))
+
+
 def run_filter(
     wh: Warehouse,
     run_id: str,
@@ -136,11 +161,17 @@ def run_filter(
         # lineage READS that path for resume) and trigger a rescore that then
         # sees its own checkpoint rows.
         metrics_rows = bucket_metrics(scored, run_id).collect()
+        n_alerts = 0
         if metrics_rows:
-            wh.append_metrics(
-                wh.spark.createDataFrame(metrics_rows, METRICS_SCHEMA))
+            metrics_df = wh.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
+            wh.append_metrics(metrics_df)
+            alerts = quality_alerts(metrics_df)
+            n_alerts = alerts.count()
+            if n_alerts:
+                alerts.write.mode("append").parquet(wh._path("alerts"))
         return {"run_id": run_id,
                 "docs_in": sum(r["docs_in"] for r in metrics_rows),
-                "docs_kept": sum(r["docs_kept"] for r in metrics_rows)}
+                "docs_kept": sum(r["docs_kept"] for r in metrics_rows),
+                "alerts": n_alerts}
     finally:
         scored.unpersist()

@@ -64,3 +64,20 @@ def test_bucket_assignment_is_stable(wh, spark):
         .alias("bucket2"))
     j = a.join(b, "url")
     assert j.where(F.col("bucket") != F.col("bucket2")).count() == 0
+
+
+def test_quality_alerts(spark):
+    from data_quality_autohealer_spark.plans.pipeline import quality_alerts
+    from data_quality_autohealer_spark.warehouse import METRICS_SCHEMA
+    import datetime
+    rows = [
+        ("r", 0, 100, 5, 95, {"langid": 90}, {}, datetime.datetime(2026, 1, 1)),
+        ("r", 1, 100, 85, 15, {}, {}, datetime.datetime(2026, 1, 1)),
+        ("r", 2, 100, 30, 70, {}, {}, datetime.datetime(2026, 1, 1)),
+    ]
+    m = spark.createDataFrame(rows, METRICS_SCHEMA)
+    alerts = {r["bucket"]: r for r in quality_alerts(m).collect()}
+    assert alerts[0]["severity"] == "critical"
+    assert 1 not in alerts           # 15% drop rate -> below medium cut
+    assert alerts[2]["severity"] == "medium"
+    assert '"docs_dropped":95' in alerts[0]["payload"]
