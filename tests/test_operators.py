@@ -153,3 +153,14 @@ def test_ivf_ann_recall(embeddings, spark):
     idx2 = IVFIndex.train(df, k=4, n_iter=3)
     import numpy as np
     assert np.allclose(idx.centroids, idx2.centroids)
+
+
+def test_profile_empty_frame(spark):
+    # reference edge case: tests/test_profiler.py:112-122 (empty frame with
+    # columns profiles without raising)
+    df = spark.createDataFrame([], "id long, x double, s string")
+    row = profiler.profile(df).collect()[0]
+    assert row["row_count"] == 0 and row["id__distinct"] == 0
+    from data_quality_autohealer_spark.plans.pipeline import score_pages
+    empty = spark.createDataFrame([], "url string, text string, lang string")
+    assert score_pages(empty).count() == 0
