@@ -25,7 +25,7 @@ HASH_DIM = 1 << 16
 NGRAM_ORDERS = (3,)
 _ALPHA = 0.1  # additive smoothing
 
-LANGS = ("en", "de", "fr", "es", "it", "nl", "zh")
+LANGS = ("en", "de", "fr", "es", "it", "nl", "zh", "pt", "ru")
 
 # Embedded seed corpora: a few hundred words of ordinary prose per language,
 # written for this project (public-knowledge sample text). Training data for
@@ -129,6 +129,35 @@ SEED_CORPORA: dict[str, str] = {
         "商店很早就开门 邻居们在一天的工作开始之前微笑着互相问候 "
         "一本好书和一杯茶让晚上变得愉快 秋天的落叶铺满地面 红色和金色交织在一起 "
         "傍晚的时候 人们回到家里 和家人一起吃饭 谈论一天发生的事情 然后安静地休息"
+    ),
+    "pt": (
+        "a rápida raposa marrom salta sobre o cão preguiçoso e corre pelo "
+        "largo campo verde enquanto o sol da manhã nasce devagar sobre as "
+        "colinas distantes as pessoas caminham ao longo do rio todos os dias "
+        "para ver a água correr sob a velha ponte de pedra e as crianças "
+        "brincam no parque perto da escola onde os professores explicam "
+        "história ciência e literatura aos alunos que escutam com atenção e "
+        "fazem muitas perguntas sobre o mundo em que vivemos porque aprender "
+        "coisas novas traz alegria e compreensão o tempo hoje está quente com "
+        "um vento suave do oeste e nuvens brancas flutuam alto sobre a cidade "
+        "tranquila onde as lojas abrem cedo e os vizinhos se cumprimentam com "
+        "um sorriso antes que o trabalho do dia comece um bom livro e uma "
+        "xícara de chá tornam a noite agradável depois de um longo passeio "
+        "pelas folhas de outono que cobrem o chão em vermelho e dourado"
+    ),
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку и бежит по "
+        "широкому зелёному полю пока утреннее солнце медленно встаёт над "
+        "далёкими холмами люди каждый день гуляют вдоль реки чтобы смотреть "
+        "как вода течёт под старым каменным мостом а дети играют в парке "
+        "возле школы где учителя объясняют историю науку и литературу "
+        "ученикам которые внимательно слушают и задают много вопросов о "
+        "мире в котором мы живём потому что новые знания приносят радость и "
+        "понимание сегодня тёплая погода с мягким западным ветром и белые "
+        "облака плывут высоко над тихим городом где магазины открываются "
+        "рано и соседи приветствуют друг друга улыбкой перед началом "
+        "рабочего дня хорошая книга и чашка чая делают вечер приятным после "
+        "долгой прогулки по осенним листьям покрывающим землю"
     ),
 }
 
