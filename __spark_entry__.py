@@ -249,6 +249,17 @@ def _q_dist_shift_events(spark, sf_dir):
     )
 
 
+_JACCARD_THRESHOLD = 0.2
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    # pairwise 3-gram Jaccard near-dups, blocked by lang (O(block²) verify
+    # path; minhash_lsh_pairs is the candidate generator at scale)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=_JACCARD_THRESHOLD,
+        block_cols=["lang"])
+
+
 def _q_json_extract(spark, sf_dir):
     # F4: JSON decode (reference: kafka_consumer.py:134 json.loads)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -456,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_shift_events": _q_dist_shift_events,
         "knn_cosine_topk": _q_knn_cosine,
         "embedding_stats_by_label": _q_embedding_stats,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "json_extract_events": _q_json_extract,
@@ -697,6 +709,21 @@ def oracle_sql() -> dict[str, str]:
             from t, g
         """,
         "knn_cosine_topk": _oracle_knn(),
+        "ngram_jaccard_pairs": f"""
+            with d as (
+                select doc_id, lang,
+                       {dedup._ngrams_distinct('text', 3, 'duck')} as ngrams
+                from documents
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.ngrams, b.ngrams))::double
+                         / len(list_distinct(a.ngrams || b.ngrams)), 6)
+                       as jaccard
+            from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
+            where round(len(list_intersect(a.ngrams, b.ngrams))::double
+                        / len(list_distinct(a.ngrams || b.ngrams)), 6)
+                  >= {_JACCARD_THRESHOLD}
+        """,
         "token_count_bpe": """
             select doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::bigint
