@@ -36,6 +36,7 @@ HEADLINE = [
     "simhash",
     "knn_cosine_topk",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_fast",
     "token_count_bpe",
     "top_order_per_customer",
 ]
