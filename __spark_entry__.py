@@ -412,6 +412,35 @@ def _q_embedding_near_dup_fast(spark, sf_dir):
     return similarity.embedding_near_dup_pairs_fast(emb, _NEARDUP_COS)
 
 
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    # LSH candidate pairs over the documents table (rows-only: band-bucket
+    # candidates; the jaccard query is the oracle-checked verify path)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), k=8,
+                                   rows_per_band=2, shingle_n=2)
+
+
+def _q_multimodal_metadata(spark, sf_dir):
+    # multimodal plumbing demo: deterministic fake media blobs → mapInPandas
+    # metadata extraction (decode stubbed; schema/batching/partitioning real)
+    from data_quality_autohealer_spark.operators import multimodal
+
+    def _gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["fake-image"] * len(ids),
+                "blob": [multimodal.make_fake_image(i, 64 + i % 32,
+                                                    48 + i % 24) for i in ids],
+                "mime": ["image/fake"] * len(ids),
+            })
+
+    media = spark.range(0, 200, numPartitions=4).mapInPandas(
+        _gen, schema=multimodal.MEDIA_SCHEMA_DDL)
+    return multimodal.extract_media_metadata(media)
+
+
 def _q_langid_model(spark, sf_dir):
     df = with_model_scores(_docs(spark, sf_dir).select("doc_id", "text"))
     return df.select("doc_id", "lang_pred", "lang_conf")
@@ -483,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "multimodal_metadata": _q_multimodal_metadata,
         "pipeline_full_decision": _q_pipeline_full,
     }
 
