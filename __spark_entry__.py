@@ -141,12 +141,11 @@ _LANG_STOPS = {
 
 
 def _stop_count(engine: str, lang: str) -> str:
+    # canonical ASCII-whitespace tokenizer (shared with text_heuristics)
     lst = ", ".join(f"'{w}'" for w in _LANG_STOPS[lang])
     if engine == "spark":
-        return (f"size(filter(split(trim(text), '\\\\s+'), "
-                f"w -> w in ({lst})))")
-    return (f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-            f"w -> w in ({lst})))")
+        return f"size(filter({th._spark_words('text')}, w -> w in ({lst})))"
+    return f"len(list_filter({th._duck_words('text')}, w -> w in ({lst})))"
 
 
 def _langid_heur_case(engine: str) -> str:
@@ -316,7 +315,7 @@ def _q_token_count_bpe(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.expr(f"regexp_count(text, '{pat}')").cast("long").alias("bpe_tokens"),
-        F.expr("size(split(trim(text), '\\\\s+'))").cast("long")
+        F.expr(f"size({th._spark_words('text')})").cast("long")
         .alias("ws_tokens"),
     )
 
@@ -384,7 +383,12 @@ def _q_shipping_priority(spark, sf_dir):
         "cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as bigint)")
     return (j.groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(cents).alias("revenue_cents"))
-            .where(F.col("revenue_cents") > 100000 * 100))
+            .where(F.col("revenue_cents") > 100000 * 100)
+            # stringify the date: Spark date vs DuckDB datetime64 format
+            # differently under the driver's value hash
+            .select("l_orderkey",
+                    F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                    "revenue_cents"))
 
 
 def _q_rollup_order_priority(spark, sf_dir):
@@ -707,7 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
             select l_returnflag, l_linestatus,
                    sum(l_quantity)::bigint as sum_qty,
-                   sum(round(l_extendedprice * 100, 0)::bigint)
+                   (sum(round(l_extendedprice * 100, 0)::bigint))::bigint
                        as sum_base_price_cents,
                    round(avg(l_quantity), 4) as avg_qty,
                    round(avg(l_discount), 4) as avg_disc,
@@ -717,7 +721,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": """
             with rev as (
                 select o_custkey,
-                       sum(round(o_totalprice * 100, 0)::bigint) as revenue_cents,
+                       (sum(round(o_totalprice * 100, 0)::bigint))::bigint
+                           as revenue_cents,
                        count(*)::bigint as n_orders
                 from orders group by o_custkey
             )
@@ -755,11 +760,11 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(a.ngrams || b.ngrams)), 6)
                   >= {_JACCARD_THRESHOLD}
         """,
-        "token_count_bpe": """
+        "token_count_bpe": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::bigint
                        as bpe_tokens,
-                   len(regexp_split_to_array(trim(text), '\\s+'))::bigint as ws_tokens
+                   len({th._duck_words('text')})::bigint as ws_tokens
             from documents
         """,
         "embedding_near_dup_pairs": f"""
@@ -826,9 +831,9 @@ def oracle_sql() -> dict[str, str]:
             ) where rn = 1
         """,
         "shipping_priority": """
-            select l_orderkey, o_orderdate,
-                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                       ::bigint) as revenue_cents
+            select l_orderkey, o_orderdate::varchar as o_orderdate,
+                   (sum(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       ::bigint))::bigint as revenue_cents
             from lineitem
             join orders on l_orderkey = o_orderkey
             join customer on o_custkey = c_custkey
@@ -840,7 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_order_priority": """
             select o_orderstatus, o_orderpriority,
                    count(*)::bigint as n_orders,
-                   sum(round(o_totalprice * 100, 0)::bigint) as total_price_cents
+                   (sum(round(o_totalprice * 100, 0)::bigint))::bigint
+                       as total_price_cents
             from orders
             group by rollup(o_orderstatus, o_orderpriority)
         """,

@@ -36,8 +36,14 @@ TOXICITY_WORDS: tuple[str, ...] = (
 TOX_PATTERN = r"(?i)\b(" + "|".join(TOXICITY_WORDS) + r")\b"
 TOX_REPLACEMENT = "<TOX>"
 
-_COMPILED_PII = [(name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS]
-_COMPILED_TOX = re.compile(TOX_PATTERN)
+# re.ASCII: Python \b is Unicode-aware by default but RE2/DuckDB \b is
+# ASCII-only — without the flag, 'damnés' scrubs differently in the two
+# engines (RE2 sees a word boundary after 'damn'; Unicode-\b does not).
+# The pattern STRINGS stay identical in both engines; only the Python
+# compile flag changes.
+_COMPILED_PII = [(name, re.compile(pat, re.ASCII), repl)
+                 for name, pat, repl in PII_PATTERNS]
+_COMPILED_TOX = re.compile(TOX_PATTERN, re.ASCII)
 
 PII_COUNT_COLS = ["n_email", "n_ssn", "n_phone", "n_ip"]
 
@@ -48,7 +54,7 @@ PII_COUNT_COLS = ["n_email", "n_ssn", "n_phone", "n_ip"]
 # count/replace passes entirely. False positives just take the slow path and
 # come out unchanged, so output equality is preserved.
 _DIGIT_RE = re.compile("[0-9]")
-_TOX_TRIGGER = re.compile("(?i)" + "|".join(TOXICITY_WORDS))
+_TOX_TRIGGER = re.compile("(?i)" + "|".join(TOXICITY_WORDS), re.ASCII)
 
 
 def _scrub_full(s: pd.Series) -> pd.DataFrame:

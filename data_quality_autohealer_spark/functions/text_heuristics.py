@@ -32,6 +32,14 @@ STOPWORDS_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with", "a
 # valid pattern in Java regex (Spark) and RE2 (DuckDB) without backslashes.
 _SYMBOL_CLASS = "[#@{}<>|^~$%&*+=]"
 
+# Canonical tokenizer whitespace: an EXPLICIT ASCII class, identical in Java
+# regex (Spark), RE2 (DuckDB) and Python re. Never use \s here — Java \s
+# includes \x0b, RE2 \s does not, and Python \s is full Unicode — so the
+# three paths silently disagree on real web text (leading tabs, U+00A0).
+_WS_CHARS = " \t\n\x0b\f\r"                       # Python str.strip() arg
+_WS_CLASS_DUCK = "[ \\t\\n\\x0b\\f\\r]"            # literal in DuckDB SQL text
+_WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]"  # Spark SQL eats one level
+
 
 @dataclass(frozen=True)
 class GopherThresholds:
@@ -59,8 +67,17 @@ DEFAULT_THRESHOLDS = GopherThresholds()
 # ---------------------------------------------------------------------------
 
 
+def _spark_clean(text: str) -> str:
+    """Strip leading/trailing ASCII whitespace (trim() strips U+0020 only)."""
+    return (f"regexp_replace(coalesce({text}, ''), "
+            f"'^{_WS_CLASS_SPARK}+|{_WS_CLASS_SPARK}+$', '')")
+
+
 def _spark_words(text: str) -> str:
-    return f"split(trim({text}), '\\\\s+')"
+    """Maximal runs of non-whitespace chars; no leading/trailing empty tokens
+    (Java split on un-stripped text yields a leading '' token for text that
+    starts with a tab, and Spark's default limit=-1 keeps trailing ones)."""
+    return f"split({_spark_clean(text)}, '{_WS_CLASS_SPARK}+')"
 
 
 def _spark_ngrams(words: str, n: int) -> str:
@@ -97,7 +114,8 @@ def spark_signal_exprs(text_col: str = "text",
     t = text_col
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in th.stopwords) + ")"
     wc = "_wc"
-    nospace = f"length(regexp_replace(coalesce({t}, ''), '\\\\s+', ''))"
+    nospace = (f"length(regexp_replace(coalesce({t}, ''), "
+               f"'{_WS_CLASS_SPARK}+', ''))")
     exprs: dict[str, Column] = {}
     exprs.update({
         "word_count": F.col("_wc").cast("int"),
@@ -151,7 +169,8 @@ def with_signal_columns(df, text_col: str = "text",
     t = text_col
     df = df.withColumn("_words", F.expr(_spark_words(t)))
     df = df.withColumn("_wc", F.expr(
-        f"case when trim({t}) = '' or {t} is null then 0 else size(_words) end"))
+        f"case when {_spark_clean(t)} = '' or {t} is null "
+        f"then 0 else size(_words) end"))
     exprs = spark_signal_exprs(t, th)
     if include_dup:
         df = df.withColumns({
@@ -207,8 +226,13 @@ def with_quality_signals(df, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _duck_clean(text: str) -> str:
+    return (f"regexp_replace(coalesce({text}, ''), "
+            f"'^{_WS_CLASS_DUCK}+|{_WS_CLASS_DUCK}+$', '', 'g')")
+
+
 def _duck_words(text: str) -> str:
-    return f"regexp_split_to_array(trim({text}), '\\s+')"
+    return f"regexp_split_to_array({_duck_clean(text)}, '{_WS_CLASS_DUCK}+')"
 
 
 def _duck_ngrams(words: str, n: int) -> str:
@@ -233,8 +257,10 @@ def duckdb_signal_sql(text_col: str = "text",
     t = text_col
     words = _duck_words(t)
     stop_arr = "[" + ", ".join(f"'{w}'" for w in th.stopwords) + "]"
-    wc = f"case when trim({t}) = '' or {t} is null then 0 else len({words}) end"
-    nospace = f"length(regexp_replace(coalesce({t}, ''), '\\s+', '', 'g'))"
+    wc = (f"case when {_duck_clean(t)} = '' or {t} is null "
+          f"then 0 else len({words}) end")
+    nospace = (f"length(regexp_replace(coalesce({t}, ''), "
+               f"'{_WS_CLASS_DUCK}+', '', 'g'))")
     return {
         "word_count": f"({wc})::int",
         "mean_word_len": (

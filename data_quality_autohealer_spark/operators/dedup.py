@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 
 
 def _words(text: str, engine: str) -> str:
+    # canonical ASCII-whitespace tokenizer shared with functions.text_heuristics
+    # (explicit class: Java \s / RE2 \s / Python \s all disagree on \x0b and
+    # Unicode whitespace)
+    from ..functions.text_heuristics import _duck_words, _spark_words
     if engine == "spark":
-        return f"split(trim({text}), '\\\\s+')"
-    return f"regexp_split_to_array(trim({text}), '\\s+')"
+        return _spark_words(text)
+    return _duck_words(text)
 
 
 def _ngrams_distinct(text: str, n: int, engine: str) -> str:

@@ -36,7 +36,7 @@ import re as _re
 
 from pyspark.sql.types import IntegerType
 
-from ..functions.text_heuristics import _SYMBOL_CLASS
+from ..functions.text_heuristics import _SYMBOL_CLASS, _WS_CHARS
 
 SCORE_SCHEMA = StructType([
     StructField("word_count", IntegerType()),
@@ -66,7 +66,9 @@ def _round6(x: float) -> float:
 
 
 _ALPHA_RE = _re.compile(r"[a-zA-Z]")
-_WS_RE = _re.compile(r"\s+")
+# explicit ASCII class — NOT \s (Python \s is Unicode-wide; the native
+# Spark/DuckDB twins tokenize on this exact ASCII set)
+_WS_RE = _re.compile("[" + _WS_CHARS + "]+")
 
 
 def heuristic_signal_batch(text: pd.Series, stopwords: tuple[str, ...]
@@ -91,12 +93,17 @@ def heuristic_signal_batch(text: pd.Series, stopwords: tuple[str, ...]
     }
     sym_findall = _re.compile(_SYMBOL_CLASS).findall
     alpha_search = _ALPHA_RE.search
-    ascii_ws = " \t\n\x0b\x0c\r"  # Java \s (the native exprs' whitespace set)
+    ascii_ws = _WS_CHARS  # the native exprs' exact whitespace set
+    ws_split = _WS_RE.split
     for i, t in enumerate(text.fillna("").tolist()):
-        w = t.split()
-        wc = len(w)
-        if wc == 0:
+        # tokenize exactly like the native twins: strip leading/trailing
+        # ASCII whitespace, split on ASCII whitespace runs (NOT str.split(),
+        # which also splits on Unicode whitespace like U+00A0/U+3000)
+        t2 = t.strip(ascii_ws)
+        if not t2:
             continue
+        w = ws_split(t2)
+        wc = len(w)
         cols["word_count"][i] = wc
         nospace = len(t) - sum(1 for ch in t if ch in ascii_ws)
         cols["mean_word_len"][i] = _round6(nospace / wc)

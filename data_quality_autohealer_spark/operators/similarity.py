@@ -190,13 +190,18 @@ def embedding_near_dup_pairs_fast(df: DataFrame, threshold: float,
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             sims = m[lo:hi] @ m.T  # (hi-lo, n)
+            # HALF_UP 6dp rounding BEFORE the threshold compare — the exact
+            # (oracle-checked) path filters on Spark round() values, which
+            # are HALF_UP; np.round is HALF_EVEN and comparing unrounded
+            # floats drops boundary pairs in [threshold-5e-7, threshold)
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
             for i in range(lo, hi):
                 row = sims[i - lo]
                 js = np.nonzero((row >= threshold)
                                 & (np.arange(n) > i))[0]
                 out_a.extend([ids[i]] * len(js))
                 out_b.extend(ids[js])
-                out_s.extend(np.round(row[js], 6))
+                out_s.extend(row[js])
         return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
                              "id_b": np.array(out_b, dtype=np.int64),
                              "cosine_sim": np.array(out_s, dtype=np.float64)})

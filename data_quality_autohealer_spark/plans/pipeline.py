@@ -168,7 +168,7 @@ def run_filter(
             alerts = quality_alerts(metrics_df)
             n_alerts = alerts.count()
             if n_alerts:
-                alerts.write.mode("append").parquet(wh._path("alerts"))
+                wh.append_alerts(alerts)
         return {"run_id": run_id,
                 "docs_in": sum(r["docs_in"] for r in metrics_rows),
                 "docs_kept": sum(r["docs_kept"] for r in metrics_rows),

@@ -113,11 +113,20 @@ class Warehouse:
         being written (dynamic partition overwrite) so a resumed run can
         rewrite a half-written bucket safely."""
         if self.use_iceberg:
+            fqn = self._fqn(table)
             if run_id is None:
-                df.writeTo(self._fqn(table)).createOrReplace()
+                (df.writeTo(fqn).using("iceberg")
+                   .partitionedBy(F.col("bucket")).createOrReplace())
             else:
-                # idempotent per-bucket rewrite on resume
-                df.writeTo(self._fqn(table)).overwritePartitions()
+                # first run of a run_id must CREATE the table — write_pages /
+                # append_metrics both do, but overwritePartitions() alone
+                # fails with table-not-found on a fresh catalog
+                if not self.spark.catalog.tableExists(fqn):
+                    (df.writeTo(fqn).using("iceberg")
+                       .partitionedBy(F.col("bucket")).create())
+                else:
+                    # idempotent per-bucket rewrite on resume
+                    df.writeTo(fqn).overwritePartitions()
         else:
             (df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -150,6 +159,23 @@ class Warehouse:
         if not os.path.exists(path):
             return self.spark.createDataFrame([], METRICS_SCHEMA)
         return self.spark.read.parquet(path)
+
+    def append_alerts(self, df: DataFrame) -> None:
+        """Alert sink routed through the warehouse abstraction (Iceberg table
+        when a catalog is configured, bucketed Parquet otherwise)."""
+        if self.use_iceberg:
+            fqn = self._fqn("alerts")
+            if not self.spark.catalog.tableExists(fqn):
+                df.writeTo(fqn).using("iceberg").create()
+            else:
+                df.writeTo(fqn).append()
+        else:
+            df.write.mode("append").parquet(self._path("alerts"))
+
+    def read_alerts(self) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._fqn("alerts"))
+        return self.spark.read.parquet(self._path("alerts"))
 
     def completed_buckets(self, run_id: str) -> DataFrame:
         """Buckets already checkpointed for this run (the resume set)."""

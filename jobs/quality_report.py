@@ -52,11 +52,12 @@ def main() -> None:
         F.col("docs_dropped") / F.greatest(F.col("docs_in"), F.lit(1)), 4))
         .orderBy(F.desc("drop_rate")).limit(args.top_buckets)
         .select("run_id", "bucket", "docs_in", "drop_rate").collect())
+    runs = sorted({r["run_id"] for r in
+                   m.select("run_id").distinct().collect()})
     m.unpersist()
 
     report = {
-        "runs": sorted({r["run_id"] for r in
-                        m.select("run_id").distinct().collect()}),
+        "runs": runs,
         "buckets": totals["buckets"],
         "docs_in": totals["docs_in"],
         "docs_kept": totals["docs_kept"],

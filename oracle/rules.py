@@ -20,6 +20,7 @@ from data_quality_autohealer_spark.functions.text_heuristics import (
     DEFAULT_THRESHOLDS,
     GopherThresholds,
     _SYMBOL_CLASS,
+    _WS_CHARS,
 )
 from data_quality_autohealer_spark.operators.decision import (
     DEFAULT_MODEL_THRESHOLDS,
@@ -29,7 +30,9 @@ from data_quality_autohealer_spark.operators.scoring import score_batch
 
 _ALPHA_RE = re.compile(r"[a-zA-Z]")
 _SYMBOL_RE = re.compile(_SYMBOL_CLASS)
-_WS_RE = re.compile(r"\s+")
+# explicit ASCII whitespace — NOT \s (Unicode in Python) — matching the
+# Spark/DuckDB native twins exactly on real web text
+_WS_RE = re.compile("[" + _WS_CHARS + "]+")
 
 
 def _round6(x: float) -> float:
@@ -50,7 +53,8 @@ def heuristic_signals(text: pd.Series,
     """Independent pandas twin of text_heuristics.spark_signal_exprs."""
     s = text.fillna("")
     out = pd.DataFrame(index=s.index)
-    word_lists = [_WS_RE.split(t.strip()) if t.strip() else [] for t in s]
+    word_lists = [_WS_RE.split(t.strip(_WS_CHARS)) if t.strip(_WS_CHARS)
+                  else [] for t in s]
     wc = np.array([len(w) for w in word_lists], dtype=np.int64)
     out["word_count"] = wc.astype(np.int32)
 

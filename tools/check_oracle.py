@@ -29,21 +29,22 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def _norm(v) -> str:
+    # Deliberately STRICT: float 123.0 and int 123 normalize differently, so
+    # a DuckDB HUGEINT-sum→float64 vs Spark int64 mismatch fails HERE the way
+    # it fails in the driver (round-1 lesson: a loose normalizer masked four
+    # driver hash mismatches).
     if v is None or v != v:
         return "NULL"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        return repr(round(v, 9))
     try:
         import numpy as np
         if isinstance(v, (np.integer,)):
             return str(int(v))
         if isinstance(v, (np.floating,)):
-            f = float(v)
-            return str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(round(f, 9))
+            return repr(round(float(v), 9))
         if isinstance(v, (np.bool_,)):
             return str(int(v))
     except Exception:
