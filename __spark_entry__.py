@@ -423,6 +423,32 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
                                    rows_per_band=2, shingle_n=2)
 
 
+_CHAIN_PARAMS = dict(k=8, rows_per_band=2, shingle_n=2, jaccard_n=3,
+                     threshold=_JACCARD_THRESHOLD,
+                     max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
+
+
+def _q_lsh_jaccard_pairs(spark, sf_dir):
+    # the LSH→Jaccard chain as ONE verified operator: candidates from
+    # band buckets (capped), verified by exact 3-gram Jaccard — the 100 TB
+    # near-dup path (cost ∝ candidates, never O(N²))
+    docs = _docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(
+        docs, k=_CHAIN_PARAMS["k"],
+        rows_per_band=_CHAIN_PARAMS["rows_per_band"],
+        shingle_n=_CHAIN_PARAMS["shingle_n"],
+        max_bucket_size=_CHAIN_PARAMS["max_bucket_size"])
+    return dedup.jaccard_verify_pairs(
+        docs, cand, n=_CHAIN_PARAMS["jaccard_n"],
+        threshold=_CHAIN_PARAMS["threshold"])
+
+
+def _q_neardup_groups(spark, sf_dir):
+    # pairs → connected components → keep-min-id clusters: the fuzzy twin of
+    # exact_dedup_groups
+    return dedup.neardup_groups(_docs(spark, sf_dir), **_CHAIN_PARAMS)
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     # multimodal plumbing demo: deterministic fake media blobs → mapInPandas
     # metadata extraction (decode stubbed; schema/batching/partitioning real)
@@ -509,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_customer": _q_top_order_per_customer,
         "shipping_priority": _q_shipping_priority,
         "rollup_order_priority": _q_rollup_order_priority,
+        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
+        "neardup_groups": _q_neardup_groups,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
@@ -850,6 +878,10 @@ def oracle_sql() -> dict[str, str]:
             from orders
             group by rollup(o_orderstatus, o_orderpriority)
         """,
+        "lsh_jaccard_pairs": dedup.duckdb_lsh_jaccard_sql(
+            "documents", "text", "doc_id", **_CHAIN_PARAMS),
+        "neardup_groups": dedup.duckdb_neardup_groups_sql(
+            "documents", "text", "doc_id", **_CHAIN_PARAMS),
         "embedding_stats_by_label": """
             with n as (
                 select label,

@@ -121,14 +121,28 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = 8,
     return df.selectExpr("*", *minhash_sig_exprs(text_col, k, shingle_n, "spark"))
 
 
+DEFAULT_MAX_BUCKET = 1000
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
-                      rows_per_band: int = 2, shingle_n: int = 3) -> DataFrame:
+                      rows_per_band: int = 2, shingle_n: int = 3,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                      ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
 
     Self-join per band on the band key; dedup pairs across bands. Bucket
-    sizes are duplicate-cluster sizes, so the join fan-out is bounded.
+    sizes are duplicate-cluster sizes, so the join fan-out is bounded for
+    organic duplication — but one viral boilerplate cluster of m docs would
+    enumerate O(m²) pairs, so buckets larger than ``max_bucket_size`` are
+    DROPPED before the self-join (docs/SCALE.md): a bucket that large is
+    boilerplate by definition and is better handled by exact_dedup upstream.
+    The cap is a window count over the same ``bucket`` key the self-join
+    shuffles on, so the exchange is reused (one shuffle, not two).
+    ``max_bucket_size=None`` disables the cap (oracle/testing only).
     """
+    from pyspark.sql.window import Window
+
     sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
     n_bands = k // rows_per_band
     banded = sig.selectExpr(id_col, *band_exprs(k, rows_per_band, "spark"))
@@ -138,10 +152,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(n_bands)
         ])).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        stacked = (stacked
+                   .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                   .where(F.col("_bsz") <= max_bucket_size)
+                   .drop("_bsz"))
     a = stacked.alias("a")
     b = stacked.alias("b")
     pairs = (
-        a.join(b, (F.col(f"a.bucket") == F.col(f"b.bucket"))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
@@ -175,6 +195,182 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Verify candidate pairs (id_a, id_b) by exact n-gram Jaccard.
+
+    The LSH→Jaccard chain: candidates come from :func:`minhash_lsh_pairs`
+    (cheap, probabilistic); this stage joins each pair back to the two
+    documents' distinct-shingle sets and keeps pairs at/above ``threshold``.
+    Scale shape: |candidates| ≪ |docs|², two shuffle joins on the id — the
+    verify cost is proportional to the candidate count, never quadratic.
+    """
+    ng = df.selectExpr(
+        id_col, f"{_ngrams_distinct(text_col, n, 'spark')} as ngrams")
+    a = ng.select(F.col(id_col).alias("id_a"), F.col("ngrams").alias("_ng_a"))
+    b = ng.select(F.col(id_col).alias("id_b"), F.col("ngrams").alias("_ng_b"))
+    jac = (F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b")))
+           / F.size(F.array_union(F.col("_ng_a"), F.col("_ng_b"))))
+    return (candidates.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected pair list via iterative
+    min-label propagation: each node's label becomes the min of its own and
+    its neighbours' labels, repeated to fixpoint. Returns (id, comp) where
+    comp = the minimal id in the component.
+
+    Scale shape: converges in O(cluster diameter) rounds (near-dup clusters
+    are shallow — boilerplate families are stars around a template); each
+    round is one join + one min-groupBy, both shuffling the EDGE list
+    (near-dup pairs ≪ corpus). Each round is materialized (persist + count
+    doubles as the convergence test) so lineage doesn't grow unboundedly.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).persist())
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), F.col("comp")))
+        new_labels = (labels.union(msgs)
+                      .groupBy("id").agg(F.min("comp").alias("comp"))
+                      .persist())
+        n_changed = (new_labels.alias("n")
+                     .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                     .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels
+
+
+def neardup_groups(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 8,
+                   rows_per_band: int = 2, shingle_n: int = 3,
+                   jaccard_n: int = 3, threshold: float = 0.5,
+                   max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                   ) -> DataFrame:
+    """Fuzzy twin of :func:`exact_dedup_groups`: LSH candidates → exact
+    Jaccard verify → connected components → one row per clustered doc with
+    its cluster representative (min id) and cluster size. Docs in no
+    near-dup cluster are omitted (they are their own representative)."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, k, rows_per_band,
+                             shingle_n, max_bucket_size)
+    verified = jaccard_verify_pairs(df, cand, text_col, id_col,
+                                    jaccard_n, threshold)
+    comp = connected_components(verified)
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("id").alias(id_col),
+                    F.col("comp").alias("rep_id"), "cluster_size"))
+
+
+def neardup_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster; pass through
+    docs that belong to no cluster. The pipeline hook twin of
+    :func:`exact_dedup`."""
+    groups = neardup_groups(df, text_col, id_col, **kwargs)
+    drop = (groups.where(F.col(id_col) != F.col("rep_id"))
+            .select(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def _duck_chain_ctes(table: str, text_col: str, id_col: str, k: int,
+                     rows_per_band: int, shingle_n: int, jaccard_n: int,
+                     threshold: float, max_bucket_size: int) -> str:
+    """Shared CTE chain for the DuckDB LSH→Jaccard twins: signatures →
+    bands → capped buckets → candidate pairs → Jaccard-verified pairs."""
+    sig_cols = ", ".join(minhash_sig_exprs(text_col, k, shingle_n, "duck"))
+    n_bands = k // rows_per_band
+    band_cols = ", ".join(band_exprs(k, rows_per_band, "duck"))
+    stacked = " union all ".join(
+        f"select {id_col}, '{b}:' || band_{b} as bucket from banded"
+        for b in range(n_bands))
+    ng = _ngrams_distinct(text_col, jaccard_n, "duck")
+    jac = ("round(len(list_intersect(a.ngrams, b.ngrams))::double"
+           " / len(list_distinct(a.ngrams || b.ngrams)), 6)")
+    return f"""
+        sig as (select {id_col}, {sig_cols} from {table}),
+        banded as (select {id_col}, {band_cols} from sig),
+        stacked as ({stacked}),
+        capped as (
+            select * from (
+                select {id_col}, bucket,
+                       count(*) over (partition by bucket) as bsz
+                from stacked
+            ) where bsz <= {max_bucket_size}
+        ),
+        cand as (
+            select distinct a.{id_col} as id_a, b.{id_col} as id_b
+            from capped a join capped b
+              on a.bucket = b.bucket and a.{id_col} < b.{id_col}
+        ),
+        ngr as (select {id_col}, {ng} as ngrams from {table}),
+        verified as (
+            select c.id_a, c.id_b, {jac} as jaccard
+            from cand c
+            join ngr a on a.{id_col} = c.id_a
+            join ngr b on b.{id_col} = c.id_b
+            where {jac} >= {threshold}
+        )"""
+
+
+def duckdb_lsh_jaccard_sql(table: str = "documents", text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           rows_per_band: int = 2, shingle_n: int = 3,
+                           jaccard_n: int = 3, threshold: float = 0.5,
+                           max_bucket_size: int = DEFAULT_MAX_BUCKET) -> str:
+    """DuckDB twin of minhash_lsh_pairs → jaccard_verify_pairs."""
+    ctes = _duck_chain_ctes(table, text_col, id_col, k, rows_per_band,
+                            shingle_n, jaccard_n, threshold, max_bucket_size)
+    return f"with {ctes} select id_a, id_b, jaccard from verified"
+
+
+def duckdb_neardup_groups_sql(table: str = "documents",
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8,
+                              rows_per_band: int = 2, shingle_n: int = 3,
+                              jaccard_n: int = 3, threshold: float = 0.5,
+                              max_bucket_size: int = DEFAULT_MAX_BUCKET
+                              ) -> str:
+    """Exact DuckDB twin of :func:`neardup_groups`: same signatures, bands,
+    bucket cap and Jaccard verify; components via a recursive CTE
+    (transitive closure is fine at oracle scale)."""
+    ctes = _duck_chain_ctes(table, text_col, id_col, k, rows_per_band,
+                            shingle_n, jaccard_n, threshold, max_bucket_size)
+    return f"""
+        with recursive {ctes},
+        und as (
+            select id_a as a, id_b as b from verified
+            union all
+            select id_b, id_a from verified
+        ),
+        reach(a, b) as (
+            select a, b from und
+            union
+            select r.a, u.b from reach r join und u on r.b = u.a
+            where u.b <> r.a
+        ),
+        comp as (
+            select a as id, least(a, min(b)) as comp from reach group by a
+        ),
+        sizes as (
+            select comp, count(*)::bigint as cluster_size from comp group by comp
+        )
+        select c.id as {id_col}, c.comp as rep_id, s.cluster_size
+        from comp c join sizes s using (comp)
+    """
 
 
 SIMHASH_BITS = 16

@@ -1,0 +1,107 @@
+"""LSH bucket cap + LSH→Jaccard verify chain + connected-components
+near-dup groups (VERDICT round-1 items 2/3/7)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def mega_corpus(spark):
+    """60 identical boilerplate docs + 6 organic docs (one near-dup pair)."""
+    boiler = [(100 + i, "click here to accept cookies and subscribe now "
+               "to our newsletter for daily updates", "en")
+              for i in range(60)]
+    organic = [
+        (0, "the cat sat on the mat and looked at the dog", "en"),
+        (1, "the cat sat on the mat and glanced at the dog", "en"),
+        (2, "completely different text about spark query engines", "en"),
+        (3, "another unrelated document discussing parquet files", "en"),
+        (4, "der schnelle braune fuchs springt über den faulen hund", "de"),
+        (5, "the cat sat on the mat and looked at the dog today", "en"),
+    ]
+    return spark.createDataFrame(boiler + organic,
+                                 "doc_id long, text string, lang string")
+
+
+def test_bucket_cap_bounds_mega_cluster(mega_corpus):
+    capped = dedup.minhash_lsh_pairs(mega_corpus, k=8, rows_per_band=2,
+                                     shingle_n=2, max_bucket_size=10)
+    uncapped = dedup.minhash_lsh_pairs(mega_corpus, k=8, rows_per_band=2,
+                                       shingle_n=2, max_bucket_size=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    # uncapped enumerates the 60-doc boilerplate cluster: C(60,2) = 1770 pairs
+    assert n_uncapped >= 1770
+    # capped drops the mega bucket entirely; only organic pairs remain
+    assert n_capped < 60
+    boiler_ids = set(range(100, 160))
+    for r in capped.collect():
+        assert not ({r["id_a"], r["id_b"]} <= boiler_ids), \
+            "mega-cluster pair leaked through the cap"
+
+
+def test_cap_noop_on_normal_corpus(mega_corpus):
+    organic = mega_corpus.where(F.col("doc_id") < 100)
+    with_cap = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        organic, k=8, rows_per_band=2, shingle_n=2).collect()}
+    no_cap = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        organic, k=8, rows_per_band=2, shingle_n=2,
+        max_bucket_size=None).collect()}
+    assert with_cap == no_cap
+
+
+def test_connected_components(spark):
+    # chain 1-2-3, pair 10-11, isolated 20-21-22 triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_neardup_groups_and_dedup(mega_corpus):
+    organic = mega_corpus.where(F.col("doc_id") < 100)
+    groups = dedup.neardup_groups(organic, k=8, rows_per_band=2, shingle_n=2,
+                                  jaccard_n=3, threshold=0.2)
+    rows = {r["doc_id"]: (r["rep_id"], r["cluster_size"])
+            for r in groups.collect()}
+    # docs 0/1/5 are a near-dup cluster with rep 0
+    assert rows[0] == (0, 3) and rows[1] == (0, 3) and rows[5] == (0, 3)
+    assert 2 not in rows and 3 not in rows and 4 not in rows
+    deduped = dedup.neardup_dedup(organic, k=8, rows_per_band=2, shingle_n=2,
+                                  jaccard_n=3, threshold=0.2)
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert kept == {0, 2, 3, 4}
+
+
+def test_lsh_jaccard_chain_recall():
+    """Chain recall ≥ 0.9 vs exact blocked Jaccard on the synth corpus."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entry_mod
+    from data_quality_autohealer_spark.session import get_spark
+
+    spark = get_spark(app_name="dqa-tests", master="local[8]",
+                      shuffle_partitions=8)
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, n=3, threshold=0.2, block_cols=["lang"]).collect()}
+    cand = dedup.minhash_lsh_pairs(docs, k=8, rows_per_band=2, shingle_n=2)
+    chain = {(r["id_a"], r["id_b"])
+             for r in dedup.jaccard_verify_pairs(
+                 docs, cand, n=3, threshold=0.2).collect()}
+    if not exact:
+        pytest.skip("no exact near-dup pairs at this sf")
+    recall = len(exact & chain) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(exact)} exact pairs)"
+    # chain pairs are Jaccard-verified, so precision vs the unblocked exact
+    # criterion is 1.0 by construction (every chain pair passed the filter)
