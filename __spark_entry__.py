@@ -109,6 +109,17 @@ def _q_drop_summary(spark, sf_dir):
         .where(F.col("n_docs") > 0))
 
 
+def _q_quality_confidence(spark, sf_dir):
+    # per-rule confidence scores (reference ensemble {issue: score} dict +
+    # rule min(rate/τ,1) shape); flattened to one column per heuristic rule
+    # for deterministic cross-engine hashing (map key order differs)
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    confs = th.spark_confidence_exprs()
+    cols = [expr.alias(code.replace(".", "_") + "_conf")
+            for code, expr in confs.items()]
+    return df.select("doc_id", *cols)
+
+
 def _q_severity_by_lang(spark, sf_dir):
     # reference severity cuts: kafka_consumer.py:85-94 (0.9/0.8/0.6)
     df = th.with_quality_signals(_docs(spark, sf_dir))
@@ -196,6 +207,14 @@ def _q_profile_documents(spark, sf_dir):
 def _q_outlier_iqr(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return profiler.iqr_outliers(li, "l_extendedprice")
+
+
+def _q_outlier_iqr_approx(spark, sf_dir):
+    # the 10^12-row variant: GK percentile_approx fences (rows-only check —
+    # approximate answers have no deterministic SQL twin)
+    return profiler.iqr_outliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "l_extendedprice", exact_percentiles=False)
 
 
 def _q_pricing_summary(spark, sf_dir):
@@ -510,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": _q_quality_signals,
         "quality_decision": _q_quality_decision,
         "quality_drop_summary": _q_drop_summary,
+        "quality_confidence": _q_quality_confidence,
         "quality_severity_by_lang": _q_severity_by_lang,
         "token_stats_by_lang": _q_token_stats,
         "langid_stopword_heuristic": _q_langid_stopword,
@@ -539,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups": _q_neardup_groups,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
+        "outlier_iqr_approx": _q_outlier_iqr_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
@@ -579,6 +600,16 @@ def _oracle_drop_summary() -> str:
         with sig as ({_duck_signals_cte()}),
         r as (select unnest({reasons}) as reason from sig)
         select reason, count(*) as n_docs from r group by reason
+    """
+
+
+def _oracle_quality_confidence() -> str:
+    confs = th.duckdb_confidence_sql()
+    cols = ", ".join(f"{sql} as {code.replace('.', '_')}_conf"
+                     for code, sql in confs.items())
+    return f"""
+        with sig as ({_duck_signals_cte()})
+        select doc_id, {cols} from sig
     """
 
 
@@ -715,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _oracle_quality_signals(),
         "quality_decision": _oracle_quality_decision(),
         "quality_drop_summary": _oracle_drop_summary(),
+        "quality_confidence": _oracle_quality_confidence(),
         "quality_severity_by_lang": _oracle_severity_by_lang(),
         "token_stats_by_lang": _oracle_token_stats(),
         "langid_stopword_heuristic": (

@@ -29,6 +29,7 @@ HEADLINE = [
     "pipeline_full_decision",
     "profile_documents",
     "outlier_iqr_lineitem",
+    "outlier_iqr_approx",
     "pricing_summary",
     "top_customers",
     "exact_dedup_groups",
@@ -39,6 +40,8 @@ HEADLINE = [
     "embedding_near_dup_fast",
     "token_count_bpe",
     "top_order_per_customer",
+    "lsh_jaccard_pairs",
+    "neardup_groups",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -205,6 +205,91 @@ def spark_rule_conditions(th: GopherThresholds = DEFAULT_THRESHOLDS) -> dict[str
     }
 
 
+def spark_confidence_exprs(th: GopherThresholds = DEFAULT_THRESHOLDS
+                           ) -> dict[str, Column]:
+    """Per-rule confidence ∈ [0,1]: normalized distance past the threshold,
+    clamped — the reference's rule-confidence shape ``min(rate/τ, 1)``
+    (missing_data_rule_based.py:38-53) applied to the Gopher rule family.
+    0.0 ⇔ the rule did not fire. Native exprs; DuckDB twin below is generated
+    from the same threshold dataclass so they cannot drift."""
+    out = {}
+    for code, sql in _confidence_sql_fragments(th, "spark").items():
+        out[code] = F.expr(sql)
+    return out
+
+
+def duckdb_confidence_sql(th: GopherThresholds = DEFAULT_THRESHOLDS
+                          ) -> dict[str, str]:
+    """DuckDB twins of :func:`spark_confidence_exprs`, over the aliased
+    signal columns produced by ``duckdb_signal_sql``."""
+    return _confidence_sql_fragments(th, "duck")
+
+
+def _confidence_sql_fragments(th: GopherThresholds, engine: str
+                              ) -> dict[str, str]:
+    # identical SQL text works in both engines (case/least/greatest/round and
+    # plain arithmetic over the signal columns); keep fragments engine-split
+    # anyway in case one ever needs to diverge
+    del engine
+    lo_wc, hi_wc = float(th.min_word_count), float(th.max_word_count)
+    lo_mw, hi_mw = th.min_mean_word_length, th.max_mean_word_length
+    t_sym = th.max_symbol_to_word_ratio
+    t_stop = float(th.min_distinct_stopwords)
+    t_alpha = th.min_alpha_word_frac
+    d2, d3, d4 = (th.max_dup_2gram_frac, th.max_dup_3gram_frac,
+                  th.max_dup_4gram_frac)
+
+    def _d(x: float) -> str:
+        # plain 50.0 parses as DECIMAL in Spark (decimal arithmetic →
+        # Decimal output, which the driver's value hash formats differently
+        # from DuckDB's float64); force double in both engines
+        return f"cast({x} as double)"
+
+    def band(col: str, lo: float, hi: float) -> str:
+        # two-sided rule: distance below lo normalized by lo, or above hi
+        # normalized by hi; clamped to [0,1]
+        lo, hi = _d(lo), _d(hi)
+        return (
+            f"round(case "
+            f"when {col} < {lo} then least(({lo} - {col}) / {lo}, {_d(1.0)}) "
+            f"when {col} > {hi} then least(({col} - {hi}) / {hi}, {_d(1.0)}) "
+            f"else {_d(0.0)} end, 6)"
+        )
+
+    def above(col: str, t: float) -> str:
+        t = _d(t)
+        return (f"round(case when {col} > {t} "
+                f"then least(({col} - {t}) / {t}, {_d(1.0)}) "
+                f"else {_d(0.0)} end, 6)")
+
+    def below(col: str, t: float, guard: str = "") -> str:
+        t = _d(t)
+        return (f"round(case when {guard}{col} < {t} "
+                f"then least(({t} - {col}) / {t}, {_d(1.0)}) "
+                f"else {_d(0.0)} end, 6)")
+
+    dup_terms = ", ".join([
+        f"(dup_2gram_frac - {_d(d2)}) / {_d(d2)}",
+        f"(dup_3gram_frac - {_d(d3)}) / {_d(d3)}",
+        f"(dup_4gram_frac - {_d(d4)}) / {_d(d4)}",
+    ])
+    return {
+        "gopher.word_count": band("word_count", lo_wc, hi_wc),
+        "gopher.mean_word_length": band("mean_word_len", lo_mw, hi_mw),
+        "gopher.symbol_ratio": above("symbol_ratio", t_sym),
+        "gopher.stopwords": below("distinct_stopwords", t_stop,
+                                  guard="lang = 'en' and "),
+        "gopher.alpha_ratio": below("alpha_word_frac", t_alpha),
+        "gopher.dup_ngram": (
+            f"round(case when dup_2gram_frac > {_d(d2)}"
+            f" or dup_3gram_frac > {_d(d3)}"
+            f" or dup_4gram_frac > {_d(d4)} "
+            f"then least(greatest({dup_terms}), {_d(1.0)}) "
+            f"else {_d(0.0)} end, 6)"
+        ),
+    }
+
+
 def spark_reasons_expr(conditions: dict[str, Column]) -> Column:
     """Sorted array of fired reason codes (deterministic order)."""
     parts = [F.when(cond, F.lit(code)) for code, cond in conditions.items()]

@@ -49,14 +49,61 @@ def model_rule_conditions(
     }
 
 
-def with_decision(
+def model_confidence_exprs(
+    claimed_lang_col: str = "lang",
+    mt: ModelThresholds = DEFAULT_MODEL_THRESHOLDS,
+) -> dict[str, Column]:
+    """Per-model-rule confidence ∈ [0,1] (reference ensemble's {issue: score}
+    dict, ensemble_classifier.py:91-139): the langid rule reports the model's
+    own softmax confidence; perplexity/toxicity report normalized distance
+    past the threshold, clamped — the same min(x/τ, 1) shape as the
+    heuristic-rule confidences."""
+    c = F.col
+    fired = model_rule_conditions(claimed_lang_col, mt)
+    return {
+        "langid": F.round(
+            F.when(fired["langid"], c("lang_conf")).otherwise(0.0), 6),
+        "perplexity": F.round(
+            F.when(fired["perplexity"],
+                   F.least((c("log_pplx") - mt.max_log_pplx)
+                           / mt.max_log_pplx, F.lit(1.0)))
+            .otherwise(0.0), 6),
+        "toxicity": F.round(
+            F.when(fired["toxicity"],
+                   F.least((c("n_tox") - mt.max_tox) / F.lit(float(mt.max_tox)),
+                           F.lit(1.0)))
+            .otherwise(0.0), 6),
+    }
+
+
+def with_confidences(
     df: DataFrame,
     gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
     model: ModelThresholds = DEFAULT_MODEL_THRESHOLDS,
     claimed_lang_col: str = "lang",
     include_model_rules: bool = True,
 ) -> DataFrame:
-    """Attach ``reasons`` (sorted array of codes) and ``keep`` (bool).
+    """Attach ``confidences`` MAP<rule, DOUBLE>: one entry per rule, 0.0 when
+    the rule did not fire (answers "how confident was the drop?")."""
+    confs = dict(th.spark_confidence_exprs(gopher))
+    if include_model_rules:
+        confs.update(model_confidence_exprs(claimed_lang_col, model))
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in confs]),
+        F.array(*confs.values()))
+    return df.withColumn("confidences", m)
+
+
+def with_decision(
+    df: DataFrame,
+    gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
+    model: ModelThresholds = DEFAULT_MODEL_THRESHOLDS,
+    claimed_lang_col: str = "lang",
+    include_model_rules: bool = True,
+    include_confidences: bool = True,
+) -> DataFrame:
+    """Attach ``reasons`` (sorted array of codes), ``keep`` (bool) and
+    ``confidences`` (map rule→score).
 
     Expects heuristic signal columns (text_heuristics.spark_signal_exprs) and,
     when ``include_model_rules``, scoring-UDF columns to be present.
@@ -65,6 +112,10 @@ def with_decision(
     if include_model_rules:
         conditions.update(model_rule_conditions(claimed_lang_col, model))
     reasons = th.spark_reasons_expr(conditions)
-    return df.withColumn("reasons", reasons).withColumn(
+    df = df.withColumn("reasons", reasons).withColumn(
         "keep", F.size("reasons") == 0
     )
+    if include_confidences:
+        df = with_confidences(df, gopher, model, claimed_lang_col,
+                              include_model_rules)
+    return df

@@ -98,14 +98,22 @@ def profile(df: DataFrame, exact_percentiles: bool = False,
 
 
 def iqr_outliers(df: DataFrame, column: str,
-                 multiplier: float = IQR_MULTIPLIER) -> DataFrame:
-    """Two-pass IQR outlier census for one numeric column: exact percentiles
-    then fence-predicate count. Returns one row:
+                 multiplier: float = IQR_MULTIPLIER,
+                 exact_percentiles: bool = True) -> DataFrame:
+    """Two-pass IQR outlier census for one numeric column: percentiles then
+    fence-predicate count. Returns one row:
     (q25, q75, lo_fence, hi_fence, outlier_count, row_count, outlier_rate).
+
+    ``exact_percentiles=False`` swaps in Greenwald–Khanna
+    ``percentile_approx`` — the 10^12-row path (exact percentile buffers all
+    values per partition; fences don't need exactness — the reference itself
+    used percentile_approx, spark_profiler.py:99-101). Exact stays the
+    default so the DuckDB-oracle-checked query is unchanged.
     """
+    fn = "percentile" if exact_percentiles else "percentile_approx"
     q = df.agg(
-        F.expr(f"percentile({column}, 0.25)").alias("q25"),
-        F.expr(f"percentile({column}, 0.75)").alias("q75"),
+        F.expr(f"{fn}({column}, 0.25)").alias("q25"),
+        F.expr(f"{fn}({column}, 0.75)").alias("q75"),
     ).collect()[0]
     q25, q75 = float(q["q25"]), float(q["q75"])
     iqr = q75 - q25

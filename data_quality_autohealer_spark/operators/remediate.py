@@ -78,11 +78,14 @@ def quarantine_split(df: DataFrame, cond) -> tuple[DataFrame, DataFrame]:
 
 
 def winsorize(df: DataFrame, column: str, lo_q: float = 0.05,
-              hi_q: float = 0.95) -> DataFrame:
-    """Clip a numeric column to exact percentile fences
-    (outlier_remediation.py:132-133)."""
-    q = df.agg(F.expr(f"percentile({column}, {lo_q})").alias("lo"),
-               F.expr(f"percentile({column}, {hi_q})").alias("hi")
+              hi_q: float = 0.95, exact_percentiles: bool = True) -> DataFrame:
+    """Clip a numeric column to percentile fences
+    (outlier_remediation.py:132-133). ``exact_percentiles=False`` uses
+    percentile_approx (GK sketch) — the at-scale default; clip fences don't
+    need exactness. Exact stays default for the oracle-checked query."""
+    fn = "percentile" if exact_percentiles else "percentile_approx"
+    q = df.agg(F.expr(f"{fn}({column}, {lo_q})").alias("lo"),
+               F.expr(f"{fn}({column}, {hi_q})").alias("hi")
                ).collect()[0]
     clipped = F.greatest(F.least(F.col(column), F.lit(float(q["hi"]))),
                          F.lit(float(q["lo"])))

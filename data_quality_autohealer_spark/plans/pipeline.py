@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import text_heuristics as th
 from ..operators import decision as dec
 from ..operators import scoring
-from ..warehouse import METRICS_SCHEMA, Warehouse
+from ..warehouse import AUDIT_SCHEMA, METRICS_SCHEMA, Warehouse
 
 SCORED_COLUMNS = [
     "url", "warc_ts", "lang", "bucket",
@@ -29,7 +29,7 @@ SCORED_COLUMNS = [
     "alpha_word_frac", "dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac",
     "lang_pred", "lang_conf", "log_pplx",
     "n_email", "n_ssn", "n_phone", "n_ip", "n_tox",
-    "scrubbed_text", "reasons", "keep",
+    "scrubbed_text", "reasons", "confidences", "keep",
 ]
 
 
@@ -175,3 +175,41 @@ def run_filter(
                 "alerts": n_alerts}
     finally:
         scored.unpersist()
+
+
+def validate_run(
+    wh: Warehouse,
+    run_id: str,
+    clean_table: str = "pages_clean",
+    tolerance: float = 0.02,
+    gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
+    model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
+) -> dict:
+    """Validate-remediation + completion-notification tail (reference
+    schema_drift_remediation.py:143-204: every DAG ends validate → notify).
+
+    Re-scores the CLEAN table through the identical scorer and asserts the
+    re-drop rate ≈ 0 (kept docs were scrubbed, so signals can shift slightly
+    — e.g. ``<EMAIL>`` tokens change the symbol ratio — hence ``tolerance``).
+    Appends one audit row (the notification artifact) and returns it as a
+    dict. One full scan of the clean table; the agg is a 1-row fence.
+    """
+    import datetime
+
+    clean = wh.read_clean(clean_table)
+    rescored = score_pages(clean, gopher, model)
+    row = rescored.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((~F.col("keep")).cast("long")).alias("redropped"),
+    ).collect()[0]
+    docs = int(row["docs"])
+    drop_rate = round(int(row["redropped"]) / max(docs, 1), 6)
+    status = "ok" if drop_rate <= tolerance else "degraded"
+    message = (f"revalidated {docs} kept docs; re-drop rate {drop_rate}"
+               f" (tolerance {tolerance})")
+    audit = wh.spark.createDataFrame(
+        [(run_id, "validate_remediation", docs, float(drop_rate), status,
+          message, datetime.datetime.now())], AUDIT_SCHEMA)
+    wh.append_audit(audit)
+    return {"run_id": run_id, "docs_validated": docs,
+            "revalidation_drop_rate": drop_rate, "status": status}

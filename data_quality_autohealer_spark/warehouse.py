@@ -34,6 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+AUDIT_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("step", T.StringType(), False),
+    T.StructField("docs_validated", T.LongType()),
+    T.StructField("revalidation_drop_rate", T.DoubleType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("completed_at", T.TimestampType()),
+])
+
 METRICS_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
     T.StructField("bucket", T.IntegerType(), False),
@@ -176,6 +186,28 @@ class Warehouse:
         if self.use_iceberg:
             return self.spark.read.table(self._fqn("alerts"))
         return self.spark.read.parquet(self._path("alerts"))
+
+    def append_audit(self, df: DataFrame) -> None:
+        """Completion/validation audit rows — the notification analogue of
+        the reference's send_completion_notification
+        (schema_drift_remediation.py:182-204)."""
+        if self.use_iceberg:
+            fqn = self._fqn("audit")
+            if not self.spark.catalog.tableExists(fqn):
+                df.writeTo(fqn).using("iceberg").create()
+            else:
+                df.writeTo(fqn).append()
+        else:
+            df.write.mode("append").parquet(self._path("audit"))
+
+    def read_audit(self) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._fqn("audit"))
+        path = self._path("audit")
+        if not os.path.exists(path):
+            from .warehouse import AUDIT_SCHEMA
+            return self.spark.createDataFrame([], AUDIT_SCHEMA)
+        return self.spark.read.parquet(path)
 
     def completed_buckets(self, run_id: str) -> DataFrame:
         """Buckets already checkpointed for this run (the resume set)."""

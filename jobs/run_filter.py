@@ -36,11 +36,16 @@ def main() -> None:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--generate", type=int, default=0,
                    help="generate N synthetic pages into the warehouse first")
+    p.add_argument("--validate", action="store_true",
+                   help="re-profile the clean table after the run and append "
+                        "a completion/validation audit row")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     from data_quality_autohealer_spark import synth
-    from data_quality_autohealer_spark.plans.pipeline import run_filter
+    from data_quality_autohealer_spark.plans.pipeline import (
+        run_filter, validate_run,
+    )
     from data_quality_autohealer_spark.session import get_spark
     from data_quality_autohealer_spark.warehouse import Warehouse
 
@@ -53,6 +58,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     summary = run_filter(wh, args.run_id, args.pages_table, args.clean_table)
+    if args.validate:
+        summary["validation"] = validate_run(wh, args.run_id, args.clean_table)
     summary["sec"] = round(time.perf_counter() - t0, 2)
     if summary["docs_in"]:
         summary["docs_per_sec"] = round(summary["docs_in"] / summary["sec"], 1)

@@ -57,6 +57,23 @@ def test_resume_skips_completed_buckets(wh, spark):
     assert summary2["docs_in"] == 0
 
 
+def test_validate_and_notify_tail(wh, spark):
+    # reference: every DAG ends validate_remediation >> notify
+    # (schema_drift_remediation.py:143-204); here: re-score the clean table,
+    # assert re-drop ≈ 0, and append the completion audit row
+    from data_quality_autohealer_spark.plans.pipeline import validate_run
+    run_filter(wh, "runv")
+    result = validate_run(wh, "runv")
+    assert result["status"] == "ok", result
+    assert result["docs_validated"] == wh.read_clean().count() > 0
+    assert result["revalidation_drop_rate"] <= 0.02
+    audit = wh.read_audit().where(F.col("run_id") == "runv").collect()
+    assert len(audit) == 1
+    assert audit[0]["step"] == "validate_remediation"
+    assert audit[0]["status"] == "ok"
+    assert audit[0]["completed_at"] is not None
+
+
 def test_bucket_assignment_is_stable(wh, spark):
     a = wh.read_pages().select("url", "bucket")
     b = wh.read_pages().select(
