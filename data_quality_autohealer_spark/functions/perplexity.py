@@ -74,6 +74,13 @@ class PerplexityModel:
             total += len(toks)
         return cls(uni, bi, total)
 
+    @classmethod
+    def train_texts(cls, texts) -> "PerplexityModel":
+        """(Re)train from observed documents — the drift-retrain path
+        (reference distribution_shift_remediation.py:69-104 retrains on the
+        shifted distribution). Deterministic given the text sequence."""
+        return cls.train({str(i): t for i, t in enumerate(texts)})
+
     def save(self, path: str) -> None:
         np.savez_compressed(path, uni=self.uni, bi=self.bi,
                             total=np.array([self.total]))

@@ -213,3 +213,64 @@ def validate_run(
     wh.append_audit(audit)
     return {"run_id": run_id, "docs_validated": docs,
             "revalidation_drop_rate": drop_rate, "status": status}
+
+
+def _run_drop_rate(wh: Warehouse, run_id: str) -> float:
+    r = (wh.read_metrics().where(F.col("run_id") == run_id)
+         .agg(F.sum("docs_in").alias("n"),
+              F.sum("docs_dropped").alias("d")).collect()[0])
+    return float(r["d"] or 0) / max(float(r["n"] or 0), 1.0)
+
+
+def drift_retrain(
+    wh: Warehouse,
+    run_id: str,
+    baseline_run_id: str,
+    shift_threshold: float = 0.15,
+    sample_docs: int = 2000,
+    clean_table: str = "pages_clean",
+) -> dict:
+    """Drift-triggered model retrain (reference
+    distribution_shift_remediation.py:69-104: detect shift → retrain on the
+    new distribution → persist the model).
+
+    Drift signal = |drop_rate(run) − drop_rate(baseline_run)| from the
+    metrics table (two 1-row aggs over ≤num_buckets rows — no data scan).
+    On drift, retrain the perplexity LM on a DETERMINISTIC sample of the
+    current clean corpus (orderBy xxhash64(url), limit N — stable across
+    partitionings) and persist the artifact next to the warehouse for
+    ``spark-submit --py-files`` shipping. Appends an audit row either way.
+    """
+    import datetime
+    import os
+
+    from ..functions.perplexity import PerplexityModel
+
+    cur = _run_drop_rate(wh, run_id)
+    base = _run_drop_rate(wh, baseline_run_id)
+    drift = round(abs(cur - base), 6)
+    if drift <= shift_threshold:
+        audit = wh.spark.createDataFrame(
+            [(run_id, "drift_retrain", 0, float(drift), "skipped",
+              f"drop-rate shift {drift} <= threshold {shift_threshold}",
+              datetime.datetime.now())], AUDIT_SCHEMA)
+        wh.append_audit(audit)
+        return {"run_id": run_id, "retrained": False, "drift": drift}
+
+    sample = (wh.read_clean(clean_table)
+              .orderBy(F.xxhash64("url")).limit(sample_docs)
+              .select("text").collect())
+    texts = [r["text"] for r in sample]
+    model = PerplexityModel.train_texts(texts)
+    model_dir = os.path.join(wh.root, "models")
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(model_dir, f"pplx_{run_id}.npz")
+    model.save(path)
+    audit = wh.spark.createDataFrame(
+        [(run_id, "drift_retrain", len(texts), float(drift), "retrained",
+          f"drop-rate shift {drift} > {shift_threshold}; retrained LM on "
+          f"{len(texts)} docs -> {path}",
+          datetime.datetime.now())], AUDIT_SCHEMA)
+    wh.append_audit(audit)
+    return {"run_id": run_id, "retrained": True, "drift": drift,
+            "model_path": path, "sample_docs": len(texts)}

@@ -74,6 +74,38 @@ def test_validate_and_notify_tail(wh, spark):
     assert audit[0]["completed_at"] is not None
 
 
+def test_drift_triggered_retrain(wh, spark):
+    # reference distribution_shift_remediation.py:69-104: retrain on drift
+    import datetime
+    from data_quality_autohealer_spark.functions.perplexity import (
+        PerplexityModel,
+    )
+    from data_quality_autohealer_spark.plans.pipeline import drift_retrain
+
+    run_filter(wh, "base")  # baseline drop rate on the normal mix
+
+    # same corpus again: no drift -> no retrain, audit row 'skipped'
+    run_filter(wh, "same")
+    r = drift_retrain(wh, "same", "base")
+    assert r["retrained"] is False and r["drift"] < 0.05
+
+    # symbol-soup corpus: drop rate jumps -> retrain fires
+    bad = spark.createDataFrame(
+        [(f"http://bad.test/{i}", datetime.datetime(2026, 1, 1),
+          bytearray(b""), "### {} => ~~ @@ |||| ^^^ " * 10, "en")
+         for i in range(200)],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    wh.write_pages(bad, table="pages_bad")
+    run_filter(wh, "bad", pages_table="pages_bad")
+    r2 = drift_retrain(wh, "bad", "base")
+    assert r2["retrained"] is True and r2["drift"] > 0.15
+    m = PerplexityModel.load(r2["model_path"])  # artifact round-trips
+    assert m.total > 0
+    steps = {a["run_id"]: a["status"] for a in wh.read_audit().collect()
+             if a["step"] == "drift_retrain"}
+    assert steps == {"same": "skipped", "bad": "retrained"}
+
+
 def test_bucket_assignment_is_stable(wh, spark):
     a = wh.read_pages().select("url", "bucket")
     b = wh.read_pages().select(
