@@ -41,38 +41,80 @@ def _words(text: str, engine: str) -> str:
     return _duck_words(text)
 
 
-def _ngrams_distinct(text: str, n: int, engine: str) -> str:
-    """Distinct word n-grams (shingles) of a document."""
-    w = _words(text, engine)
-    if engine == "spark":
-        joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
-        ng = (f"case when size({w}) < {n} then array(concat_ws(' ', {w})) "
-              f"else transform(sequence(0, size({w}) - {n}), i -> {joined}) end")
-        return f"array_distinct({ng})"
+def _ngrams_raw(text: str, n: int, engine: str,
+                words_col: str | None = None) -> str:
+    """Word n-grams (shingles) of a document, with repeats.
+
+    ``words_col``: name of a pre-staged words-array COLUMN. Critical on the
+    Spark side: a lambda body that references the split() expression inline
+    re-evaluates the split PER ARRAY ELEMENT in interpreted mode (measured
+    ~50× blowup); referencing a staged column is an attribute lookup."""
+    w = words_col or _words(text, engine)
     joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
-    ng = (f"case when len({w}) < {n} then [array_to_string({w}, ' ')] "
-          f"else list_transform(generate_series(1, len({w}) - {n - 1}), i -> {joined}) end")
-    return f"list_distinct({ng})"
+    if engine == "spark":
+        return (f"case when size({w}) < {n} then array(concat_ws(' ', {w})) "
+                f"else transform(sequence(0, size({w}) - {n}), i -> {joined}) end")
+    return (f"case when len({w}) < {n} then [array_to_string({w}, ' ')] "
+            f"else list_transform(generate_series(1, len({w}) - {n - 1}), i -> {joined}) end")
 
 
-def minhash_sig_exprs(text: str, k: int, n: int, engine: str) -> list[str]:
-    """k MinHash signature values: min over shingles of md5(seed|shingle).
+def _ngrams_distinct(text: str, n: int, engine: str,
+                     words_col: str | None = None) -> str:
+    """Distinct word n-grams (shingles) of a document."""
+    ng = _ngrams_raw(text, n, engine, words_col)
+    return (f"array_distinct({ng})" if engine == "spark"
+            else f"list_distinct({ng})")
 
-    md5 hex strings order identically in every engine (ASCII), so the min is
-    engine-independent. Returns SQL fragments aliased sig_0..sig_{k-1}.
-    """
-    ng = _ngrams_distinct(text, n, engine)
-    out = []
-    for i in range(k):
-        if engine == "spark":
-            out.append(
-                f"array_min(transform({ng}, g -> md5(concat('{i}|', g)))) as sig_{i}"
-            )
-        else:
-            out.append(
-                f"list_min(list_transform({ng}, g -> md5('{i}|' || g))) as sig_{i}"
-            )
-    return out
+
+# 60-bit integer base hash of a shingle: md5 prefix parsed as hex. md5 is
+# the one hash available and bit-identical in Spark, DuckDB and Python —
+# everything downstream (MinHash affine family, hashed-Jaccard) derives from
+# ONE md5 pass per shingle instead of one per signature.
+def _hash_base(var: str, engine: str) -> str:
+    if engine == "spark":
+        return f"cast(conv(substring(md5({var}), 1, 15), 16, 10) as bigint)"
+    return f"('0x' || substr(md5({var}), 1, 15))::bigint"
+
+
+_MH_PRIME = 2147483647          # 2^31 - 1
+_MH_MOD = 1 << 30               # fold the 60-bit base below 2^30 so a*h+b
+_MH_A = 1000003                 # stays far under 2^63 (no overflow, both
+_MH_B = 7919                    # engines agree exactly on bigint arithmetic)
+
+
+def _hashed_ngrams(text: str, n: int, engine: str,
+                   words_col: str | None = None) -> str:
+    """Distinct shingles as 60-bit ints (one md5 pass). Set size — and thus
+    Jaccard — matches the string-shingle set except for md5-prefix
+    collisions (~|set|²/2^61, negligible), and any collision is IDENTICAL
+    across engines, so oracle parity is exact by construction."""
+    ng = _ngrams_raw(text, n, engine, words_col)
+    if engine == "spark":
+        return f"array_distinct(transform({ng}, g -> {_hash_base('g', 'spark')}))"
+    return f"list_distinct(list_transform({ng}, g -> {_hash_base('g', 'duck')}))"
+
+
+def _affine_min(hg: str, i: int, engine: str) -> str:
+    """MinHash signature i: min over hashed shingles of an affine transform
+    (a_i·h + b_i) mod p — the standard k-hash-family construction from ONE
+    base hash, pure integer arithmetic in both engines."""
+    a, b = _MH_A + 2 * i, _MH_B * (i + 1)
+    if engine == "spark":
+        return (f"array_min(transform({hg}, "
+                f"h -> ({a} * (h % {_MH_MOD}) + {b}) % {_MH_PRIME}))")
+    return (f"list_min(list_transform({hg}, "
+            f"h -> ({a} * (h % {_MH_MOD}) + {b}) % {_MH_PRIME}))")
+
+
+def minhash_sig_exprs(text: str, k: int, n: int, engine: str,
+                      hashed_col: str | None = None) -> list[str]:
+    """k MinHash signatures as SQL fragments aliased sig_0..sig_{k-1}.
+
+    ``hashed_col``: name of a pre-staged hashed-shingle array column (the
+    Spark operators stage it once so Catalyst computes the md5 pass per
+    document, not per signature)."""
+    hg = hashed_col or _hashed_ngrams(text, n, engine)
+    return [f"{_affine_min(hg, i, engine)} as sig_{i}" for i in range(k)]
 
 
 def band_exprs(k: int, rows_per_band: int, engine: str) -> list[str]:
@@ -84,7 +126,7 @@ def band_exprs(k: int, rows_per_band: int, engine: str) -> list[str]:
         if engine == "spark":
             bands.append(f"md5(concat_ws('|', {', '.join(sigs)})) as band_{b}")
         else:
-            concat = " || '|' || ".join(sigs)
+            concat = " || '|' || ".join(f"{s}::varchar" for s in sigs)
             bands.append(f"md5({concat}) as band_{b}")
     return bands
 
@@ -117,8 +159,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def with_minhash(df: DataFrame, text_col: str = "text", k: int = 8,
                  shingle_n: int = 3) -> DataFrame:
-    """Attach sig_0..sig_{k-1} MinHash columns (native exprs, shuffle-free)."""
-    return df.selectExpr("*", *minhash_sig_exprs(text_col, k, shingle_n, "spark"))
+    """Attach sig_0..sig_{k-1} MinHash columns (native exprs, shuffle-free).
+
+    The hashed-shingle array is STAGED as one column referenced k times, so
+    Catalyst keeps it as a separate projection (CollapseProject won't inline
+    a non-cheap alias with >1 reference) and the md5 pass runs once per doc;
+    each signature is then a cheap affine min-scan."""
+    df = df.withColumn("_w", F.expr(_words(text_col, "spark")))
+    df = df.withColumn(
+        "_hg", F.expr(_hashed_ngrams(text_col, shingle_n, "spark",
+                                     words_col="_w")))
+    df = df.selectExpr(
+        "*", *minhash_sig_exprs(text_col, k, shingle_n, "spark",
+                                hashed_col="_hg"))
+    return df.drop("_w", "_hg")
 
 
 DEFAULT_MAX_BUCKET = 1000
@@ -143,6 +197,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql.window import Window
 
+    # keep sig columns staged (referenced by the band exprs) — with_minhash
+    # already stages the expensive md5 pass once per document
     sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
     n_bands = k // rows_per_band
     banded = sig.selectExpr(id_col, *band_exprs(k, rows_per_band, "spark"))
@@ -180,8 +236,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     cross product; at web scale use minhash_lsh_pairs to generate candidates
     and this only to verify them.
     """
-    ng = _ngrams_distinct(text_col, n, "spark")
-    base = df.selectExpr(id_col, *(block_cols or []), f"{ng} as ngrams")
+    ng = _ngrams_distinct(text_col, n, "spark", words_col="_w")
+    base = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+            .selectExpr(id_col, *(block_cols or []), f"{ng} as ngrams"))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in (block_cols or []):
@@ -200,22 +257,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Verify candidate pairs (id_a, id_b) by exact n-gram Jaccard.
+    """Verify candidate pairs (id_a, id_b) by n-gram Jaccard over HASHED
+    shingle sets (one 60-bit md5-derived int per distinct shingle).
 
     The LSH→Jaccard chain: candidates come from :func:`minhash_lsh_pairs`
     (cheap, probabilistic); this stage joins each pair back to the two
-    documents' distinct-shingle sets and keeps pairs at/above ``threshold``.
+    documents' shingle sets and keeps pairs at/above ``threshold``.
+    Hashed ints instead of shingle strings cut the join-shuffle payload and
+    the intersect/union cost ~10× (4-8 B per shingle instead of ~30); the
+    Jaccard value equals the string-set value except for md5-prefix
+    collisions (negligible, and identical across engines).
     Scale shape: |candidates| ≪ |docs|², two shuffle joins on the id — the
     verify cost is proportional to the candidate count, never quadratic.
     """
-    ng = df.selectExpr(
-        id_col, f"{_ngrams_distinct(text_col, n, 'spark')} as ngrams")
+    ng = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+          .selectExpr(id_col,
+                      f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')}"
+                      f" as ngrams"))
     a = ng.select(F.col(id_col).alias("id_a"), F.col("ngrams").alias("_ng_a"))
     b = ng.select(F.col(id_col).alias("id_b"), F.col("ngrams").alias("_ng_b"))
-    jac = (F.size(F.array_intersect(F.col("_ng_a"), F.col("_ng_b")))
-           / F.size(F.array_union(F.col("_ng_a"), F.col("_ng_b"))))
-    return (candidates.join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    # stage the intersection SIZE as a column referenced twice (numerator +
+    # union-size identity |A∪B| = |A|+|B|−|A∩B|): one array pass per pair,
+    # and the threshold filter inlines only cheap scalar arithmetic instead
+    # of re-evaluating the array intersect under predicate pushdown
+    sized = (candidates.join(a, "id_a").join(b, "id_b")
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("_ng_a", "_ng_b")).alias("_i"),
+                     F.size("_ng_a").alias("_sa"),
+                     F.size("_ng_b").alias("_sb")))
+    jac = F.round(F.col("_i")
+                  / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6)
+    return (sized.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
@@ -231,9 +303,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (near-dup pairs ≪ corpus). Each round is materialized (persist + count
     doubles as the convergence test) so lineage doesn't grow unboundedly.
     """
+    # materialize the edge list ONCE — every propagation round joins against
+    # it, and without the persist each round would re-run the whole upstream
+    # plan (e.g. the LSH+Jaccard chain) from scratch
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst"))))
+                                 F.col("id_a").alias("dst")))).persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")).persist())
     labels.count()
@@ -250,6 +325,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if n_changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
@@ -297,9 +373,11 @@ def _duck_chain_ctes(table: str, text_col: str, id_col: str, k: int,
     stacked = " union all ".join(
         f"select {id_col}, '{b}:' || band_{b} as bucket from banded"
         for b in range(n_bands))
-    ng = _ngrams_distinct(text_col, jaccard_n, "duck")
+    ng = _hashed_ngrams(text_col, jaccard_n, "duck")
+    # same |A∪B| = |A|+|B|−|A∩B| identity as the Spark side (sets, so equal)
     jac = ("round(len(list_intersect(a.ngrams, b.ngrams))::double"
-           " / len(list_distinct(a.ngrams || b.ngrams)), 6)")
+           " / (len(a.ngrams) + len(b.ngrams)"
+           " - len(list_intersect(a.ngrams, b.ngrams))), 6)")
     return f"""
         sig as (select {id_col}, {sig_cols} from {table}),
         banded as (select {id_col}, {band_cols} from sig),
