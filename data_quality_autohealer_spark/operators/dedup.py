@@ -300,32 +300,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Scale shape: converges in O(cluster diameter) rounds (near-dup clusters
     are shallow — boilerplate families are stars around a template); each
     round is one join + one min-groupBy, both shuffling the EDGE list
-    (near-dup pairs ≪ corpus). Each round is materialized (persist + count
-    doubles as the convergence test) so lineage doesn't grow unboundedly.
+    (near-dup pairs ≪ corpus). Each round is materialized with
+    ``localCheckpoint`` — persist() alone is NOT enough for iterative
+    algorithms: the logical plan still nests the previous round's plan
+    (labels appears twice per round → 2^k tree growth) and Spark OOMs just
+    BUILDING THE PLAN STRING after a few rounds. localCheckpoint truncates
+    lineage to the materialized blocks. On a real cluster with a fault
+    domain, swap for reliable ``checkpoint()`` (HDFS-backed) — local blocks
+    die with an executor.
     """
-    # materialize the edge list ONCE — every propagation round joins against
-    # it, and without the persist each round would re-run the whole upstream
-    # plan (e.g. the LSH+Jaccard chain) from scratch
+    # materialize the edge list ONCE with truncated lineage — every round
+    # joins against it, and without this each round would re-run the whole
+    # upstream plan (e.g. the LSH+Jaccard chain) from scratch
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))).persist()
+                                 F.col("id_a").alias("dst")))
+             ).localCheckpoint()
     labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id")).persist())
-    labels.count()
+              .withColumn("comp", F.col("id"))).localCheckpoint()
     for _ in range(max_iter):
         msgs = (edges.join(labels, edges.src == labels.id)
                 .select(F.col("dst").alias("id"), F.col("comp")))
         new_labels = (labels.union(msgs)
                       .groupBy("id").agg(F.min("comp").alias("comp"))
-                      .persist())
+                      ).localCheckpoint()
         n_changed = (new_labels.alias("n")
                      .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
                      .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
