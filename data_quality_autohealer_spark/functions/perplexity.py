@@ -137,9 +137,25 @@ class PerplexityModel:
 
 _MODEL: PerplexityModel | None = None
 
+# Env override so a drift-retrained artifact (pipeline.drift_retrain saves
+# <warehouse>/models/pplx_<run>.npz) is actually USED by the scoring UDF:
+# set DQA_PPLX_MODEL on the session / spark-submit --conf
+# spark.executorEnv.DQA_PPLX_MODEL=... and every Python worker loads it
+# instead of training the embedded seed model.
+MODEL_PATH_ENV = "DQA_PPLX_MODEL"
+
 
 def get_model() -> PerplexityModel:
     global _MODEL
     if _MODEL is None:
-        _MODEL = PerplexityModel.train()
+        import os
+        path = os.environ.get(MODEL_PATH_ENV)
+        _MODEL = (PerplexityModel.load(path) if path
+                  else PerplexityModel.train())
     return _MODEL
+
+
+def reset_model_cache() -> None:
+    """Clear the per-process model cache (tests / model swap)."""
+    global _MODEL
+    _MODEL = None

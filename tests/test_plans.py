@@ -63,6 +63,40 @@ def test_resume_antijoin_is_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_minhash_base_hash_staged_once(spark):
+    """The md5→int base-hash pass over shingles must appear ONCE in the
+    optimized plan (staged _hg column, multi-reference); if CollapseProject
+    ever inlines it per signature/band again, this counts k× (regression:
+    inline lambda references re-ran split() per array element, 16×)."""
+    from data_quality_autohealer_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, "some words appear here repeatedly for shingles %d" % i)
+         for i in range(10)], "doc_id long, text string")
+    plan = _plan(dedup.with_minhash(docs, k=8, shingle_n=3))
+    assert plan.count("conv(substring(md5(") <= 2, plan  # tree + detail
+
+
+def test_jaccard_verify_intersect_bounded(spark):
+    """Catalyst pushes the threshold into the JOIN CONDITION (early filter —
+    non-qualifying pairs never materialize downstream), which inlines the
+    intersect twice there (numerator + union-size identity) plus once in the
+    survivors' project: ≤3 occurrences total. Guards against a regression to
+    the un-staged form where the full md5+split shingle construction was
+    inlined per reference (16× measured)."""
+    from data_quality_autohealer_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta %d" % (i % 3))
+         for i in range(12)], "doc_id long, text string")
+    cand = dedup.minhash_lsh_pairs(docs, k=8, rows_per_band=2, shingle_n=2)
+    plan = _plan(dedup.jaccard_verify_pairs(docs, cand, n=3, threshold=0.2))
+    assert plan.count("array_intersect") <= 4, plan
+    # the expensive part — shingle construction — must stay on the 1-row-per-
+    # doc side, never inside the pair join condition/output
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join condition" in ln or "_i#" in ln]
+    assert all("md5" not in ln for ln in join_lines), join_lines
+
+
 def test_schema_drift(spark, tmp_path):
     a = spark.createDataFrame([(1, "x", 1.0)], "id long, s string, v double")
     b = spark.createDataFrame([(1, "x")], "id long, s string")
