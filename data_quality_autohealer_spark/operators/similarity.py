@@ -87,6 +87,17 @@ class IVFIndex:
     def __init__(self, centroids: np.ndarray):
         self.centroids = centroids  # (k, dim) float64, L2-normalized
 
+    def save(self, path: str) -> None:
+        """Persist the coarse quantizer (reference S7 model-persistence
+        analogue, feature_engineering.py:248-263) — np.savez artifact
+        shipped via --py-files / executor env like the text models."""
+        np.savez_compressed(path, centroids=self.centroids)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        z = np.load(path, allow_pickle=False)
+        return cls(z["centroids"])
+
     @staticmethod
     def _normalize(m: np.ndarray) -> np.ndarray:
         return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)

@@ -79,6 +79,18 @@ def test_neardup_groups_and_dedup(mega_corpus):
     assert kept == {0, 2, 3, 4}
 
 
+def test_neardup_dedup_is_idempotent(mega_corpus):
+    """After keep-one-per-cluster, re-running the chain finds NO clusters:
+    LSH buckets are per-doc deterministic, so any surviving verified pair
+    would have put both docs in one component (contradiction)."""
+    organic = mega_corpus.where(F.col("doc_id") < 100)
+    once = dedup.neardup_dedup(organic, k=8, rows_per_band=2, shingle_n=2,
+                               jaccard_n=3, threshold=0.2)
+    again = dedup.neardup_groups(once, k=8, rows_per_band=2, shingle_n=2,
+                                 jaccard_n=3, threshold=0.2)
+    assert again.count() == 0
+
+
 def test_lsh_jaccard_chain_recall():
     """Chain recall ≥ 0.9 vs exact blocked Jaccard on the synth corpus."""
     import os

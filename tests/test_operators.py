@@ -155,6 +155,17 @@ def test_ivf_ann_recall(embeddings, spark):
     assert np.allclose(idx.centroids, idx2.centroids)
 
 
+def test_ivf_index_persistence(embeddings, tmp_path):
+    df, base = embeddings
+    from data_quality_autohealer_spark.operators.similarity import IVFIndex
+    import numpy as np
+    idx = IVFIndex.train(df, k=4, n_iter=2)
+    path = str(tmp_path / "ivf.npz")
+    idx.save(path)
+    back = IVFIndex.load(path)
+    assert np.array_equal(idx.centroids, back.centroids)
+
+
 def test_profile_empty_frame(spark):
     # reference edge case: tests/test_profiler.py:112-122 (empty frame with
     # columns profiles without raising)
