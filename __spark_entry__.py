@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
-from data_quality_autohealer_spark.operators import dedup, profiler, similarity
+from data_quality_autohealer_spark.operators import (
+    dedup, profiler, similarity, skew,
+)
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
 SF001 = "/root/testdata/sf0.001"
@@ -276,6 +278,13 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=_JACCARD_THRESHOLD,
         block_cols=["lang"])
+
+
+def _q_salted_event_stats(spark, sf_dir):
+    # north_rule skew handling: explicit two-phase salted aggregation whose
+    # logical result equals a plain groupBy (oracle = plain SQL aggregate)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew.salted_stats(ev, "event_type", "value", "event_id")
 
 
 def _q_json_extract(spark, sf_dir):
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "json_extract_events": _q_json_extract,
+        "salted_event_stats": _q_salted_event_stats,
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
@@ -858,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
             select event_id, json_extract_string(props, '$.k')::int as k
             from events
         """,
+        "salted_event_stats": skew.duckdb_salted_stats_sql(
+            "events", "event_type", "value"),
         "winsorize_lineitem": """
             with q as (
                 select quantile_cont(l_extendedprice, 0.05) as lo,
