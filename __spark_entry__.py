@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
-    dedup, profiler, similarity, skew,
+    dedup, profiler, sessions, similarity, skew,
 )
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
@@ -285,6 +285,13 @@ def _q_salted_event_stats(spark, sf_dir):
     # logical result equals a plain groupBy (oracle = plain SQL aggregate)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return skew.salted_stats(ev, "event_type", "value", "event_id")
+
+
+def _q_session_windows(spark, sf_dir):
+    # gap-based session windows (native session_window — identical code in
+    # batch and Structured Streaming); oracle = gaps-and-islands SQL
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize(ev, gap="4 hours")
 
 
 def _q_json_extract(spark, sf_dir):
@@ -560,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "json_extract_events": _q_json_extract,
         "salted_event_stats": _q_salted_event_stats,
+        "session_windows": _q_session_windows,
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
@@ -870,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_event_stats": skew.duckdb_salted_stats_sql(
             "events", "event_type", "value"),
+        "session_windows": sessions.duckdb_sessionize_sql("events"),
         "winsorize_lineitem": """
             with q as (
                 select quantile_cont(l_extendedprice, 0.05) as lo,

