@@ -42,6 +42,8 @@ HEADLINE = [
     "top_order_per_customer",
     "lsh_jaccard_pairs",
     "neardup_groups",
+    "salted_event_stats",
+    "session_windows",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
