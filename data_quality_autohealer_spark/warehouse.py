@@ -205,7 +205,6 @@ class Warehouse:
             return self.spark.read.table(self._fqn("audit"))
         path = self._path("audit")
         if not os.path.exists(path):
-            from .warehouse import AUDIT_SCHEMA
             return self.spark.createDataFrame([], AUDIT_SCHEMA)
         return self.spark.read.parquet(path)
 

@@ -1,0 +1,97 @@
+"""Synchronous quality-check HTTP API — the reference's FastAPI service
+(/root/reference/src/api/quality_service.py) rebuilt on Flask (the framework
+available here) over the identical Spark scorer.
+
+Endpoints (reference parity):
+  GET  /            → service banner           (quality_service.py root)
+  GET  /health      → model/scorer liveness    (quality_service.py /health)
+  POST /quality/check → score documents NOW; reference-shaped response
+        accepts JSON  {"documents": [{"text": ..., "lang": "en"}, ...]}
+        or multipart CSV upload (file=<csv with a text[,lang] column>),
+        mirroring the reference's CSV-upload contract.
+
+Run:  python jobs/api_server.py --port 8099 [--master local[8]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def create_app(spark):
+    from flask import Flask, jsonify, request
+
+    from jobs.check_one import check_documents
+
+    app = Flask("dqa-quality-api")
+
+    @app.get("/")
+    def root():
+        return jsonify({"message": "Data Quality API (PySpark rebuild)",
+                        "version": "2.0.0"})
+
+    @app.get("/health")
+    def health():
+        # liveness = the scorer's models materialize (langid + perplexity
+        # train/caches lazily per process)
+        from data_quality_autohealer_spark.functions import langid, perplexity
+        return jsonify({
+            "status": "healthy",
+            "detectors_loaded": 2 + 6,  # 2 models + 6 heuristic rules
+            "langid_classes": len(langid.get_model().langs),
+            "perplexity_tokens": int(perplexity.get_model().total),
+        })
+
+    @app.post("/quality/check")
+    def quality_check():
+        texts: list[str] = []
+        langs: list[str] = []
+        pipeline_id = "adhoc"
+        if request.files.get("file"):
+            import csv
+            f = request.files["file"]
+            pipeline_id = (f.filename or "upload.csv").rsplit(".", 1)[0]
+            reader = csv.DictReader(
+                io.TextIOWrapper(f.stream, encoding="utf-8"))
+            for row in reader:
+                if row.get("text") is None:
+                    return jsonify({"error": "CSV needs a 'text' column"}), 400
+                texts.append(row["text"])
+                langs.append(row.get("lang") or "en")
+        else:
+            body = request.get_json(silent=True) or {}
+            docs = body.get("documents")
+            if not isinstance(docs, list) or not docs:
+                return jsonify({"error": "provide documents: [{text, lang?}] "
+                                         "or a multipart CSV 'file'"}), 400
+            for d in docs:
+                if not isinstance(d, dict) or "text" not in d:
+                    return jsonify({"error": "each document needs text"}), 400
+                texts.append(d["text"])
+                langs.append(d.get("lang") or "en")
+            pipeline_id = body.get("pipeline_id", pipeline_id)
+        resp = check_documents(spark, texts, langs, pipeline_id)
+        return jsonify(resp)
+
+    return app
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8099)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from data_quality_autohealer_spark.session import get_spark
+    spark = get_spark(app_name="dqa-api", master=args.master)
+    create_app(spark).run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""HTTP API parity with the reference's quality service
+(quality_service.py): health, JSON check, CSV-upload check, error paths.
+Uses Flask's test client — the same WSGI app `python jobs/api_server.py`
+serves."""
+
+import io
+
+import numpy as np
+import pytest
+
+from data_quality_autohealer_spark import synth
+
+flask = pytest.importorskip("flask")
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    from jobs.api_server import create_app
+    return create_app(spark).test_client()
+
+
+def test_health(client):
+    r = client.get("/health")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["status"] == "healthy"
+    assert body["langid_classes"] >= 4
+    assert body["perplexity_tokens"] > 0
+
+
+def test_check_json_documents(client):
+    pdf = synth.gen_pages_pdf(np.arange(50))
+    r = client.post("/quality/check", json={
+        "pipeline_id": "p1",
+        "documents": [{"text": t, "lang": lg} for t, lg in
+                      zip(pdf["text"].head(6), pdf["lang"].head(6))],
+    })
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["pipeline_id"] == "p1"
+    assert body["severity"] in {"critical", "high", "medium", "low"}
+    assert len(body["documents"]) == 6
+    assert set(body["scores"]) >= {"perplexity", "langid", "toxicity"}
+
+
+def test_check_csv_upload(client):
+    csv_bytes = ("text,lang\n"
+                 '"### {} => ~~ @@@",en\n').encode()
+    r = client.post("/quality/check", data={
+        "file": (io.BytesIO(csv_bytes), "upload42.csv"),
+    }, content_type="multipart/form-data")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["pipeline_id"] == "upload42"
+    assert body["detected_issues"] != ["clean"]
+    assert not body["documents"][0]["keep"]
+
+
+def test_check_error_paths(client):
+    assert client.post("/quality/check", json={}).status_code == 400
+    assert client.post("/quality/check",
+                       json={"documents": [{"lang": "en"}]}).status_code == 400
+    bad_csv = b"notext\nfoo\n"
+    r = client.post("/quality/check", data={
+        "file": (io.BytesIO(bad_csv), "x.csv"),
+    }, content_type="multipart/form-data")
+    assert r.status_code == 400
