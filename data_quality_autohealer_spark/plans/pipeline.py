@@ -145,6 +145,13 @@ def run_filter(
     pages = wh.read_pages(pages_table)
     todo = wh.resume_filter(pages, run_id)
     scored = score_pages(todo, gopher, model)
+    # prune columns NEITHER sink reads before materializing the cache —
+    # the confidences map in particular is per-doc strings+doubles that
+    # would be computed and cached for nothing (clean write needs
+    # url/ts/lang/bucket/scrubbed/reasons; metrics needs bucket/keep/
+    # reasons/pii counts)
+    needed = [c for c in scored.columns if c not in ("confidences",)]
+    scored = scored.select(*needed)
     scored = scored.persist(getattr(StorageLevel, storage_level))
     try:
         kept = scored.where(F.col("keep")).select(
