@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
-    dedup, profiler, sessions, similarity, skew,
+    contamination, dedup, profiler, sessions, similarity, skew,
 )
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
@@ -484,6 +484,24 @@ def _q_neardup_groups(spark, sf_dir):
     return dedup.neardup_groups(_docs(spark, sf_dir), **_CHAIN_PARAMS)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    # winnowing fingerprints (rolling-hash document fingerprinting): any
+    # shared run of ≥ window+n−1 words shares a fingerprint
+    return contamination.winnow_fingerprints(_docs(spark, sf_dir),
+                                             n=3, window=4)
+
+
+_BENCH_PRED = "doc_id % 50 = 0"
+
+
+def _q_contamination_check(spark, sf_dir):
+    # benchmark decontamination: docs sharing any 8-gram with the benchmark
+    # slice (deterministic subset of the same table)
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.expr(_BENCH_PRED))
+    return contamination.contamination_flags(docs, bench, n=8)
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     # multimodal plumbing demo: deterministic fake media blobs → mapInPandas
     # metadata extraction (decode stubbed; schema/batching/partitioning real)
@@ -575,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_priority": _q_rollup_order_priority,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "neardup_groups": _q_neardup_groups,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "contamination_check": _q_contamination_check,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
@@ -935,6 +955,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", **_CHAIN_PARAMS),
         "neardup_groups": dedup.duckdb_neardup_groups_sql(
             "documents", "text", "doc_id", **_CHAIN_PARAMS),
+        "winnow_fingerprints": contamination.duckdb_winnow_sql(
+            "documents", n=3, window=4),
+        "contamination_check": contamination.duckdb_contamination_sql(
+            "documents", _BENCH_PRED, n=8),
         "embedding_stats_by_label": """
             with n as (
                 select label,

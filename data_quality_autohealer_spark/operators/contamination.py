@@ -1,0 +1,128 @@
+"""Document fingerprinting (winnowing) and benchmark decontamination.
+
+Training-data hygiene operators a 10^12-doc corpus pipeline needs (no
+reference analogue — the reference's nearest miss is its md5 schema
+fingerprint, spark_profiler.py:44-46):
+
+* **Winnowing fingerprints** (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public):
+  per document, the set of per-window minima over the rolling sequence of
+  hashed word n-grams. Guarantees any shared run of ≥ window+n−1 words
+  between two documents shares a fingerprint — the deterministic cousin of
+  MinHash used for plagiarism / benchmark-contamination detection.
+
+* **Decontamination**: flag corpus documents sharing any n-gram with a
+  benchmark/eval set (the C4/GPT-style 8-to-13-gram overlap rule, public).
+  The benchmark n-gram set is tiny → broadcast hash-semi-join against the
+  exploded corpus n-grams; corpus side never shuffles its text, only
+  (id, 8-byte hash) pairs.
+
+Both reuse dedup's engine-identical hashed-shingle builders (one md5 pass,
+60-bit ints, bit-identical in Spark and DuckDB), so both have exact SQL
+oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash_base, _ngrams_raw, _words
+
+
+def _hashed_seq(text: str, n: int, engine: str,
+                words_col: str | None = None) -> str:
+    """Positional (non-distinct) hashed n-gram sequence — order matters for
+    the rolling windows."""
+    ng = _ngrams_raw(text, n, engine, words_col)
+    if engine == "spark":
+        return f"transform({ng}, g -> {_hash_base('g', 'spark')})"
+    return f"list_transform({ng}, g -> {_hash_base('g', 'duck')})"
+
+
+def _winnow_expr(hseq_col: str, window: int, engine: str) -> str:
+    """Distinct per-window minima over the hash sequence (the fingerprint
+    set). Sequences shorter than the window yield their single minimum."""
+    if engine == "spark":
+        return (
+            f"case when size({hseq_col}) <= {window} "
+            f"then array(array_min({hseq_col})) "
+            f"else array_distinct(transform("
+            f"sequence(1, size({hseq_col}) - {window} + 1), "
+            f"i -> array_min(slice({hseq_col}, i, {window})))) end"
+        )
+    return (
+        f"case when len({hseq_col}) <= {window} "
+        f"then [list_min({hseq_col})] "
+        f"else list_distinct(list_transform("
+        f"generate_series(1, len({hseq_col}) - {window} + 1), "
+        f"i -> list_min({hseq_col}[i:i+{window}-1]))) end"
+    )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """One row per (doc, fingerprint). Shuffle-free per-partition compute;
+    output is (id, 8-byte int) — the only thing that ever moves."""
+    base = df.withColumn("_w", F.expr(_words(text_col, "spark")))
+    base = base.withColumn(
+        "_hs", F.expr(_hashed_seq(text_col, n, "spark", words_col="_w")))
+    return (base.selectExpr(
+        id_col, f"{_winnow_expr('_hs', window, 'spark')} as _fps")
+        .select(F.col(id_col), F.explode("_fps").alias("fingerprint")))
+
+
+def duckdb_winnow_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      window: int = 4) -> str:
+    hs = _hashed_seq(text_col, n, "duck")
+    return f"""
+        with h as (select {id_col}, {hs} as hs from {table}),
+        w as (select {id_col},
+                     {_winnow_expr('hs', window, 'duck')} as fps
+              from h)
+        select {id_col}, unnest(fps) as fingerprint from w
+    """
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8) -> DataFrame:
+    """Corpus docs sharing ≥1 word n-gram with the benchmark set:
+    (doc_id, n_shared_ngrams). The benchmark's distinct hashed n-grams are
+    broadcast; the corpus side explodes to (id, hash) and semi-aggregates —
+    no corpus text ever shuffles."""
+    def hashed(frame):
+        return (frame.withColumn("_w", F.expr(_words(text_col, "spark")))
+                .selectExpr(id_col,
+                            f"{_hashed_seq(text_col, n, 'spark', words_col='_w')}"
+                            f" as _hs"))
+
+    bench_h = (hashed(benchmark)
+               .select(F.explode("_hs").alias("h")).distinct())
+    doc_h = (hashed(docs)
+             .select(F.col(id_col), F.explode("_hs").alias("h"))
+             .distinct())
+    return (doc_h.join(F.broadcast(bench_h), "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams")))
+
+
+def duckdb_contamination_sql(doc_table: str, bench_predicate: str,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             n: int = 8) -> str:
+    """Twin with the benchmark defined as ``doc_table where bench_predicate``
+    (the driver-query form: a deterministic slice of the same table)."""
+    hs = _hashed_seq(text_col, n, "duck")
+    return f"""
+        with bench as (
+            select distinct unnest({hs}) as h
+            from {doc_table} where {bench_predicate}
+        ),
+        doc_h as (
+            select distinct {id_col}, unnest({hs}) as h from {doc_table}
+        )
+        select d.{id_col}, count(*)::bigint as n_shared_ngrams
+        from doc_h d join bench b on d.h = b.h
+        group by d.{id_col}
+    """
