@@ -344,6 +344,34 @@ def _q_top_order_per_customer(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("top_price")))
 
 
+def _q_punct_stats(spark, sf_dir):
+    # C4-style punctuation signals (no regex escapes: [.] classes are valid
+    # verbatim in Java regex and RE2)
+    wc = f"size({th._spark_words('text')})"
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "cast(regexp_count(text, '[.!?]') as bigint) as n_terminal_punct",
+        "cast(regexp_count(text, '[.][.][.]') as bigint) as n_ellipsis",
+        f"round(cast(regexp_count(text, '[.!?]') as double) / {wc}, 6)"
+        " as punct_word_ratio",
+    )
+
+
+def _q_zscore_outliers(spark, sf_dir):
+    # per-group z-score outlier census via window functions (W-coverage:
+    # aggregate-over-window, not just row_number)
+    from pyspark.sql.window import Window
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & ~F.isnan("value")))
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    return (ev.withColumn("_z", z)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.abs(F.col("_z")) > 3).cast("long"))
+                 .alias("n_outliers")))
+
+
 def _q_token_count_bpe(spark, sf_dir):
     # BPE-ish subword token census: alpha runs, digit runs, single symbols
     pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -586,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": _q_json_extract,
         "salted_event_stats": _q_salted_event_stats,
         "session_windows": _q_session_windows,
+        "punct_stats": _q_punct_stats,
+        "zscore_outliers_events": _q_zscore_outliers,
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
@@ -899,6 +929,31 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_stats": skew.duckdb_salted_stats_sql(
             "events", "event_type", "value"),
         "session_windows": sessions.duckdb_sessionize_sql("events"),
+        "punct_stats": f"""
+            select doc_id,
+                   len(regexp_extract_all(text, '[.!?]'))::bigint
+                       as n_terminal_punct,
+                   len(regexp_extract_all(text, '[.][.][.]'))::bigint
+                       as n_ellipsis,
+                   round(len(regexp_extract_all(text, '[.!?]'))::double
+                         / len({th._duck_words('text')}), 6)
+                       as punct_word_ratio
+            from documents
+        """,
+        "zscore_outliers_events": """
+            with z as (
+                select event_type,
+                       (value - avg(value) over (partition by event_type))
+                       / stddev_samp(value) over (partition by event_type)
+                           as zv
+                from events
+                where value is not null and not isnan(value)
+            )
+            select event_type, count(*)::bigint as n_rows,
+                   sum(case when abs(zv) > 3 then 1 else 0 end)::bigint
+                       as n_outliers
+            from z group by event_type
+        """,
         "winsorize_lineitem": """
             with q as (
                 select quantile_cont(l_extendedprice, 0.05) as lo,
