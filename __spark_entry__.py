@@ -472,6 +472,20 @@ def _q_profile_documents_approx(spark, sf_dir):
         exact_percentiles=False, approx_distinct=True)
 
 
+def _q_embedding_neardup_groups(spark, sf_dir):
+    # connected components over the exact embedding near-dup pair set —
+    # the same keep-one-per-cluster contraction as the text chain, applied
+    # to the embedding modality (pairs from the oracle-checked exact query;
+    # clusters via the shared min-label propagation)
+    pairs = _q_embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("comp").alias("rep_id"), "cluster_size"))
+
+
 def _q_embedding_near_dup_fast(spark, sf_dir):
     # GEMM scale path; produces the identical pair set as the oracle-checked
     # embedding_near_dup_pairs (verified in tests) ~4× faster
@@ -625,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups": _q_neardup_groups,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "contamination_check": _q_contamination_check,
+        "embedding_neardup_groups": _q_embedding_neardup_groups,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
@@ -895,33 +910,8 @@ def oracle_sql() -> dict[str, str]:
                    len({th._duck_words('text')})::bigint as ws_tokens
             from documents
         """,
-        "embedding_near_dup_pairs": f"""
-            with e as (
-                select vec_id, label,
-                       list_transform(embedding, x -> x::double) as v
-                from embeddings
-            )
-            select a.vec_id as id_a, b.vec_id as id_b,
-                   round(
-                     list_reduce(list_prepend(0.0::double,
-                       list_transform(generate_series(1, len(a.v)),
-                         i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
-                     / (sqrt(list_reduce(list_prepend(0.0::double,
-                          list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
-                      * sqrt(list_reduce(list_prepend(0.0::double,
-                          list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))),
-                     6) as cosine_sim
-            from e a join e b on a.label = b.label and a.vec_id < b.vec_id
-            where round(
-                     list_reduce(list_prepend(0.0::double,
-                       list_transform(generate_series(1, len(a.v)),
-                         i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
-                     / (sqrt(list_reduce(list_prepend(0.0::double,
-                          list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
-                      * sqrt(list_reduce(list_prepend(0.0::double,
-                          list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))),
-                     6) >= {_NEARDUP_COS}
-        """,
+        "embedding_near_dup_pairs": _oracle_emb_pairs(),
+        "embedding_neardup_groups": _oracle_emb_neardup_groups(),
         "json_extract_events": """
             select event_id, json_extract_string(props, '$.k')::int as k
             from events
@@ -1030,6 +1020,65 @@ def oracle_sql() -> dict[str, str]:
             from n group by label
         """,
     }
+
+
+_EMB_COS = """round(
+    list_reduce(list_prepend(0.0::double,
+      list_transform(generate_series(1, len(a.v)),
+        i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_prepend(0.0::double,
+         list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_prepend(0.0::double,
+         list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))),
+    6)"""
+
+_EMB_E_CTE = """e as (
+    select vec_id, label,
+           list_transform(embedding, x -> x::double) as v
+    from embeddings
+)"""
+
+
+def _oracle_emb_pairs() -> str:
+    return f"""
+        with {_EMB_E_CTE}
+        select a.vec_id as id_a, b.vec_id as id_b,
+               {_EMB_COS} as cosine_sim
+        from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+        where {_EMB_COS} >= {_NEARDUP_COS}
+    """
+
+
+def _oracle_emb_neardup_groups() -> str:
+    """Components of the exact embedding near-dup pair graph (same recursive
+    contraction as the text neardup_groups twin)."""
+    return f"""
+        with recursive {_EMB_E_CTE},
+        verified as (
+            select a.vec_id as id_a, b.vec_id as id_b
+            from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+            where {_EMB_COS} >= {_NEARDUP_COS}
+        ),
+        und as (
+            select id_a as a, id_b as b from verified
+            union all
+            select id_b, id_a from verified
+        ),
+        reach(a, b) as (
+            select a, b from und
+            union
+            select r.a, u.b from reach r join und u on r.b = u.a
+            where u.b <> r.a
+        ),
+        comp as (
+            select a as id, least(a, min(b)) as comp from reach group by a
+        ),
+        sizes as (
+            select comp, count(*)::bigint as cluster_size from comp group by comp
+        )
+        select c.id as vec_id, c.comp as rep_id, s.cluster_size
+        from comp c join sizes s using (comp)
+    """
 
 
 def _oracle_knn() -> str:
