@@ -63,6 +63,55 @@ def kept_writer(scored: DataFrame, out_path: str, checkpoint: str):
             .outputMode("append"))
 
 
+def stateful_host_quality(scored: DataFrame, watermark: str = "10 minutes",
+                          timeout_ms: int = 600_000) -> DataFrame:
+    """CUSTOM stateful operator via ``applyInPandasWithState``: per-host
+    RUNNING quality totals (docs seen / kept / cumulative drop rate) carried
+    across micro-batches — semantics a built-in windowed agg can't express
+    (unbounded running totals with explicit eviction). State per host is
+    three counters; hosts idle past ``timeout_ms`` (processing-time) emit a
+    final row and evict, so state size tracks the ACTIVE host set, not the
+    corpus. Arrow-batched per group; no per-row Python.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.hasTimedOut:
+            docs, kept = state.get
+            state.remove()
+            yield pd.DataFrame({"host": [key[0]], "docs_in": [docs],
+                                "docs_kept": [kept],
+                                "drop_rate": [round(1 - kept / max(docs, 1), 6)],
+                                "final": [True]})
+            return
+        docs, kept = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            kept += int(pdf["keep"].sum())
+        state.update((docs, kept))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"host": [key[0]], "docs_in": [docs],
+                            "docs_kept": [kept],
+                            "drop_rate": [round(1 - kept / max(docs, 1), 6)],
+                            "final": [False]})
+
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host")
+    return (scored
+            .withWatermark("warc_ts", watermark)
+            .select(host, "keep", "warc_ts")
+            .groupBy("host")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("host string, docs_in long, docs_kept long,"
+                                  " drop_rate double, final boolean"),
+                stateStructType="docs long, kept long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def windowed_host_metrics(scored: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Optional stateful aggregation: per-host drop counts in event-time

@@ -99,6 +99,47 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     assert len(got) >= 10
 
 
+def test_stateful_host_quality_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: the LAST update emitted per
+    host must equal the batch groupBy answer (all data arrives in the
+    stream's lifetime; timeouts don't fire within processAllAvailable)."""
+    src = str(tmp_path / "src4")
+    synth.gen_pages_df(spark, 400, num_partitions=2).write.parquet(src)
+    stream = stream_filter.stream_pages_from_files(spark, src,
+                                                   max_files_per_trigger=1)
+    st = stream_filter.stateful_host_quality(
+        stream_filter.scored_stream(stream))
+    assert st.isStreaming
+    batch = score_pages(spark.read.parquet(src)).withColumn(
+        "host", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+    expected = {r["host"]: (r["docs_in"], r["docs_kept"])
+                for r in batch.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("docs_in"),
+                    F.sum(F.col("keep").cast("long")).alias("docs_kept")
+                ).collect()}
+
+    q = (st.writeStream.format("memory").queryName("host_quality")
+         .outputMode("update").start())
+    try:
+        # NOTE: processAllAvailable() never returns under
+        # ProcessingTimeTimeout (the engine keeps scheduling batches to
+        # evict timed-out state) — poll the sink until the running totals
+        # converge to the batch answer instead.
+        deadline = time.time() + 120
+        last = {}
+        while time.time() < deadline:
+            rows = spark.sql("select * from host_quality").collect()
+            last = {}
+            for r in rows:  # keep the LAST emission per host
+                last[r["host"]] = (r["docs_in"], r["docs_kept"])
+            if last == expected:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert last == expected
+
+
 def test_windowed_host_metrics_executes(spark, tmp_path):
     src = str(tmp_path / "src3")
     synth.gen_pages_df(spark, 400, num_partitions=2).write.parquet(src)
