@@ -344,6 +344,69 @@ def _q_top_order_per_customer(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("top_price")))
 
 
+_BLOCKED_HOSTS = ["host7.example", "host23.example", "host41.example"]
+_BAD_EXTS = ["exe", "zip", "jpg"]
+
+
+def _q_url_quality(spark, sf_dir):
+    # URL-level filters a crawl pipeline applies before fetching text:
+    # host extraction, path depth, domain blocklist, extension screen.
+    # URLs are derived DETERMINISTICALLY from doc_id (documents.parquet has
+    # no url column) so the DuckDB twin constructs the identical input.
+    blocked = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    exts = ", ".join(f"'{e}'" for e in _BAD_EXTS)
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('http://host', cast(doc_id % 50 as string), "
+        "'.example/a/b', repeat('/c', cast(doc_id % 4 as int)), "
+        "'/file', cast(doc_id as string), '.', "
+        "element_at(array('html','exe','zip','jpg','txt'), "
+        "cast(doc_id % 5 as int) + 1)) as url",
+    ).selectExpr(
+        "doc_id", "url",
+        "regexp_extract(url, 'http://([^/]+)/', 1) as host",
+        "cast(size(split(url, '/')) - 3 as int) as path_depth",
+        f"regexp_extract(url, 'http://([^/]+)/', 1) in ({blocked})"
+        " as host_blocked",
+        f"regexp_extract(url, '[.]([a-z0-9]+)$', 1) in ({exts})"
+        " as bad_extension",
+    ).selectExpr(
+        "doc_id", "url", "host", "path_depth", "host_blocked",
+        "bad_extension",
+        "not (host_blocked or bad_extension) as url_keep",
+    )
+
+
+def _oracle_url_quality() -> str:
+    blocked = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    exts = ", ".join(f"'{e}'" for e in _BAD_EXTS)
+    return f"""
+        with u as (
+            select doc_id,
+                   'http://host' || (doc_id % 50)::varchar || '.example/a/b'
+                   || repeat('/c', (doc_id % 4)::int)
+                   || '/file' || doc_id::varchar || '.'
+                   || (['html','exe','zip','jpg','txt'])[(doc_id % 5)::int + 1]
+                       as url
+            from documents
+        ),
+        f as (
+            select doc_id, url,
+                   regexp_extract(url, 'http://([^/]+)/', 1) as host,
+                   (len(regexp_split_to_array(url, '/')) - 3)::int
+                       as path_depth,
+                   regexp_extract(url, 'http://([^/]+)/', 1) in ({blocked})
+                       as host_blocked,
+                   regexp_extract(url, '[.]([a-z0-9]+)$', 1) in ({exts})
+                       as bad_extension
+            from u
+        )
+        select doc_id, url, host, path_depth, host_blocked, bad_extension,
+               not (host_blocked or bad_extension) as url_keep
+        from f
+    """
+
+
 def _q_punct_stats(spark, sf_dir):
     # C4-style punctuation signals (no regex escapes: [.] classes are valid
     # verbatim in Java regex and RE2)
@@ -630,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
+        "url_quality": _q_url_quality,
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
@@ -930,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
                        as punct_word_ratio
             from documents
         """,
+        "url_quality": _oracle_url_quality(),
         "zscore_outliers_events": """
             with z as (
                 select event_type,
