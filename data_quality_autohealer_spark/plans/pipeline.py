@@ -222,6 +222,39 @@ def validate_run(
             "revalidation_drop_rate": drop_rate, "status": status}
 
 
+def metrics_drift(wh: Warehouse, run_id: str, baseline_run_id: str
+                  ) -> DataFrame:
+    """Per-bucket drift of the CURRENT run's metrics vs a baseline run —
+    the reference's baseline-vs-current comparison (spark_profiler.py:261-289)
+    re-expressed over the metrics table: broadcast join of two ≤num_buckets
+    frames (no data scan), drop-rate delta and per-rule hit-rate deltas.
+    """
+    def slim(rid, tag):
+        m = wh.read_metrics().where(F.col("run_id") == rid)
+        return m.select(
+            "bucket",
+            (F.col("docs_dropped") / F.greatest(F.col("docs_in"), F.lit(1)))
+            .alias(f"drop_rate_{tag}"),
+            F.col("docs_in").alias(f"docs_in_{tag}"),
+            F.col("rule_hits").alias(f"hits_{tag}"),
+        )
+
+    cur, base = slim(run_id, "cur"), slim(baseline_run_id, "base")
+    j = cur.join(F.broadcast(base), "bucket", "left")
+    # per-rule hit-rate delta: map_zip_with over the union of rule keys
+    delta = F.expr(
+        "map_zip_with(hits_cur, coalesce(hits_base, map()), "
+        "(k, c, b) -> round(coalesce(c, 0) / greatest(docs_in_cur, 1) "
+        "- coalesce(b, 0) / greatest(coalesce(docs_in_base, 0), 1), 6))")
+    return j.select(
+        "bucket",
+        F.round(F.col("drop_rate_cur")
+                - F.coalesce("drop_rate_base", F.lit(0.0)), 6)
+        .alias("drop_rate_delta"),
+        delta.alias("rule_hit_rate_delta"),
+    )
+
+
 def _run_drop_rate(wh: Warehouse, run_id: str) -> float:
     r = (wh.read_metrics().where(F.col("run_id") == run_id)
          .agg(F.sum("docs_in").alias("n"),
