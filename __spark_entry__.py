@@ -122,6 +122,33 @@ def _q_quality_confidence(spark, sf_dir):
     return df.select("doc_id", *cols)
 
 
+_STRICT_TH = th.GopherThresholds(min_word_count=80, max_dup_2gram_frac=0.30)
+
+
+def _q_threshold_flip_docs(spark, sf_dir):
+    # config-sensitivity: docs KEPT at default thresholds but DROPPED under
+    # a stricter config — set difference (EXCEPT) of the two keep sets
+    docs = _docs(spark, sf_dir)
+    keep_default = (th.with_quality_signals(docs)
+                    .where("keep").select("doc_id"))
+    keep_strict = (th.with_quality_signals(docs, th=_STRICT_TH)
+                   .where("keep").select("doc_id"))
+    return keep_default.exceptAll(keep_strict)
+
+
+def _oracle_threshold_flip() -> str:
+    def keep_sql(thresholds):
+        sigs = th.duckdb_signal_sql("text", thresholds)
+        cols = ", ".join(f"{sql} as {name}" for name, sql in sigs.items())
+        reasons = th.duckdb_reasons_sql(th.duckdb_rule_conditions(thresholds))
+        return (f"select doc_id from (select doc_id, lang, {cols} "
+                f"from documents) where len({reasons}) = 0")
+    # doc_ids are unique per side, so EXCEPT ALL ≡ EXCEPT; ALL matches
+    # Spark's exceptAll bag semantics literally
+    return (f"{keep_sql(th.DEFAULT_THRESHOLDS)} "
+            f"except all {keep_sql(_STRICT_TH)}")
+
+
 def _q_severity_by_lang(spark, sf_dir):
     # reference severity cuts: kafka_consumer.py:85-94 (0.9/0.8/0.6)
     df = th.with_quality_signals(_docs(spark, sf_dir))
@@ -670,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drop_summary": _q_drop_summary,
         "quality_confidence": _q_quality_confidence,
         "quality_severity_by_lang": _q_severity_by_lang,
+        "threshold_flip_docs": _q_threshold_flip_docs,
         "token_stats_by_lang": _q_token_stats,
         "langid_stopword_heuristic": _q_langid_stopword,
         "doc_fingerprint": _q_fingerprint,
@@ -895,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_drop_summary": _oracle_drop_summary(),
         "quality_confidence": _oracle_quality_confidence(),
         "quality_severity_by_lang": _oracle_severity_by_lang(),
+        "threshold_flip_docs": _oracle_threshold_flip(),
         "token_stats_by_lang": _oracle_token_stats(),
         "langid_stopword_heuristic": (
             f"select doc_id, {_langid_heur_case('duck')} as lang_heur "
