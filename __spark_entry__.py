@@ -656,6 +656,34 @@ def _q_multimodal_metadata(spark, sf_dir):
     return multimodal.extract_media_metadata(media)
 
 
+def _q_multimodal_features_ann(spark, sf_dir):
+    # multimodal end-to-end: fake media blobs → mapInPandas featurizer →
+    # cosine top-k over the features (rows-only: the featurizer is the
+    # deterministic stand-in for a real encoder; the plumbing is real)
+    from data_quality_autohealer_spark.operators import multimodal
+
+    def _gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["fake-image"] * len(ids),
+                "blob": [multimodal.make_fake_image(i % 20, 64, 48)
+                         for i in ids],
+                "mime": ["image/fake"] * len(ids),
+            })
+
+    media = spark.range(0, 200, numPartitions=4).mapInPandas(
+        _gen, schema=multimodal.MEDIA_SCHEMA_DDL)
+    feats = multimodal.extract_media_features(media, dim=16)
+    q = [float(x) for x in feats.where(F.col("media_id") == 0)
+         .collect()[0]["feature"]]
+    return similarity.cosine_topk(
+        feats.withColumnRenamed("media_id", "vec_id"), q, k=10,
+        vec_col="feature")
+
+
 def _q_langid_model(spark, sf_dir):
     df = with_model_scores(_docs(spark, sf_dir).select("doc_id", "text"))
     return df.select("doc_id", "lang_pred", "lang_conf")
@@ -742,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_features_ann": _q_multimodal_features_ann,
         "pipeline_full_decision": _q_pipeline_full,
     }
 

@@ -112,6 +112,71 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
 
 
+def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stage: blob → dense feature vector (the CLIP/VGG
+    embedding slot), batched per Arrow chunk as one numpy matrix.
+
+    The featurizer here is a DETERMINISTIC fake (payload-byte histogram
+    folded to ``dim`` and L2-normalized — a real per-blob function of the
+    bytes, so identical blobs give identical features and the downstream
+    similarity ops behave like they would with a real model). Swap the
+    `_featurize` body for a real encoder on a real cluster; everything else
+    (schema, batch shape, Arrow transfer, output feeding
+    operators.similarity) is production plumbing.
+    """
+
+    def _featurize(batch: pd.Series) -> np.ndarray:
+        mats = np.zeros((len(batch), dim), dtype=np.float64)
+        for i, blob in enumerate(batch):
+            if blob is None:
+                continue
+            a = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+            hist = np.bincount((np.arange(len(a)) % dim), weights=a,
+                               minlength=dim)
+            n = np.linalg.norm(hist)
+            mats[i] = hist / n if n > 0 else hist
+        return mats
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _featurize(pdf["blob"])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": [row.tolist() for row in m],
+            })
+
+    return df.mapInPandas(
+        _extract, schema="media_id bigint, kind string, feature array<double>")
+
+
+def sample_frames(df: DataFrame, every_n: int = 4,
+                  frame_bytes: int = 16) -> DataFrame:
+    """Frame-sampling stage: one input video blob → N sampled frame rows
+    (the 1→many mapInPandas shape real video pipelines need). Frames here
+    are deterministic payload slices (no codecs in this container); the
+    row-explosion plumbing, schema and batch handling are real."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for f in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(b[f * frame_bytes:(f + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": pd.array(ids, dtype="int64"),
+                                "frame_idx": pd.array(idxs, dtype="int32"),
+                                "frame": frames})
+
+    return df.mapInPandas(
+        _sample, schema="media_id bigint, frame_idx int, frame binary")
+
+
 def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage plumbing: routes each blob through the registered decoder
     + a resize kernel. The kernel is stubbed (NotImplementedError surfaces as

@@ -117,6 +117,43 @@ def test_multimodal_metadata(spark):
     assert (meta.loc[meta.index < 10, "n_bytes"] > 0).all()
 
 
+def test_multimodal_features_feed_similarity(spark):
+    # decode → featurize → ANN: the multimodal features flow straight into
+    # the similarity operators (real end-to-end plumbing; featurizer is a
+    # deterministic fake function of the bytes)
+    rows = [(i, "fake-image",
+             multimodal.make_fake_image(i % 3, 64, 48, 3),  # 3 distinct blobs
+             "image/fake") for i in range(9)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA_DDL)
+    feats = multimodal.extract_media_features(df, dim=8)
+    pdf = feats.toPandas().set_index("media_id").sort_index()
+    assert len(pdf) == 9 and all(len(v) == 8 for v in pdf["feature"])
+    # identical blobs → identical features (media_id i and i+3 share a blob)
+    assert list(pdf.loc[0, "feature"]) == list(pdf.loc[3, "feature"])
+    # ANN over the features: top-k for blob-0's feature finds its twins
+    q = [float(x) for x in pdf.loc[0, "feature"]]
+    top = similarity.cosine_topk(
+        feats.withColumnRenamed("media_id", "vec_id"), q, k=3,
+        vec_col="feature")
+    ids = {r["vec_id"] for r in top.collect()}
+    assert ids == {0, 3, 6}
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [(1, "video", bytes(range(128)), "video/fake"),
+            (2, "video", bytes(16), "video/fake"),
+            (3, "video", None, "video/fake")]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA_DDL)
+    frames = multimodal.sample_frames(df, every_n=2, frame_bytes=16)
+    got = frames.toPandas()
+    # blob 1: 128 bytes / 16 = 8 frames, every 2nd → 4; blob 2: 1 frame;
+    # null blob → no rows
+    per = got.groupby("media_id").size().to_dict()
+    assert per == {1: 4, 2: 1}
+    f0 = got[(got.media_id == 1) & (got.frame_idx == 0)]["frame"].iloc[0]
+    assert bytes(f0) == bytes(range(16))
+
+
 def test_embedding_near_dup_fast_matches_exact(embeddings, spark):
     df, base = embeddings
     from data_quality_autohealer_spark.operators.similarity import (
