@@ -47,6 +47,43 @@ def create_app(spark):
             "perplexity_tokens": int(perplexity.get_model().total),
         })
 
+    @app.get("/alerts")
+    def alerts():
+        # pull analogue of the reference's WebSocket broadcaster
+        # (websocket_server.py) — no websocket library in this container, so
+        # the live surface is polling this endpoint (or SSE on a real deploy)
+        from data_quality_autohealer_spark.warehouse import Warehouse
+        wh_path = request.args.get("warehouse")
+        if not wh_path:
+            return jsonify({"error": "warehouse query param required"}), 400
+        wh = Warehouse(spark, wh_path)
+        try:
+            rows = wh.read_alerts().collect()
+        except Exception:
+            rows = []
+        return jsonify({"alerts": [
+            {"run_id": r["run_id"], "bucket": r["bucket"],
+             "severity": r["severity"], "drop_rate": r["drop_rate"]}
+            for r in rows]})
+
+    @app.get("/report")
+    def report():
+        from pyspark.sql import functions as SF
+        from data_quality_autohealer_spark.warehouse import Warehouse
+        wh_path = request.args.get("warehouse")
+        if not wh_path:
+            return jsonify({"error": "warehouse query param required"}), 400
+        m = Warehouse(spark, wh_path).read_metrics()
+        run_id = request.args.get("run_id")
+        if run_id:
+            m = m.where(SF.col("run_id") == run_id)
+        t = m.agg(SF.count(SF.lit(1)).alias("buckets"),
+                  SF.sum("docs_in").alias("docs_in"),
+                  SF.sum("docs_kept").alias("docs_kept")).collect()[0]
+        return jsonify({"buckets": t["buckets"],
+                        "docs_in": t["docs_in"] or 0,
+                        "docs_kept": t["docs_kept"] or 0})
+
     @app.post("/quality/check")
     def quality_check():
         texts: list[str] = []

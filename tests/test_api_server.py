@@ -56,6 +56,21 @@ def test_check_csv_upload(client):
     assert not body["documents"][0]["keep"]
 
 
+def test_alerts_and_report_endpoints(client, spark, tmp_path):
+    from data_quality_autohealer_spark.plans.pipeline import run_filter
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "apiwh"), num_buckets=4)
+    wh.write_pages(synth.gen_pages_df(spark, 300, num_partitions=2))
+    run_filter(wh, "api1")
+    r = client.get("/report", query_string={"warehouse": wh.root})
+    body = r.get_json()
+    assert r.status_code == 200 and body["docs_in"] == 300
+    assert 0 < body["docs_kept"] < 300 and body["buckets"] == 4
+    r2 = client.get("/alerts", query_string={"warehouse": wh.root})
+    assert r2.status_code == 200 and isinstance(r2.get_json()["alerts"], list)
+    assert client.get("/report").status_code == 400
+
+
 def test_check_error_paths(client):
     assert client.post("/quality/check", json={}).status_code == 400
     assert client.post("/quality/check",
