@@ -52,6 +52,43 @@ def test_generator_pure_function_of_id(rid):
     assert a.loc[0, "url"] == b.loc[0, "url"]
 
 
+def _union_find_components(edges):
+    """Pure-Python reference for connected components (min label)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda t: t[0] != t[1]),
+    min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_connected_components_match_union_find(edges):
+    # dedupe/canonicalize pairs the way the operator receives them
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    from data_quality_autohealer_spark.operators.dedup import (
+        connected_components,
+    )
+    from data_quality_autohealer_spark.session import get_spark
+    spark = get_spark(app_name="dqa-tests", master="local[8]",
+                      shuffle_partitions=8)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(pairs)
+
+
 def test_decision_partition_invariant(spark):
     from data_quality_autohealer_spark.plans.pipeline import score_pages
     pdf = synth.gen_pages_pdf(np.arange(400))
