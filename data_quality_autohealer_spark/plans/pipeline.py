@@ -133,16 +133,22 @@ def run_filter(
     gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
     model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
     storage_level: str = "MEMORY_AND_DISK",
+    bucket_subset: list[int] | None = None,
 ) -> dict:
     """Full run with resume. Returns summary counters.
 
     ``storage_level``: cache level for the scored frame shared by the two
     sinks (clean write + metrics). Use "DISK_ONLY" at cluster scale — the
     scored text of a whole bucket wave needn't fit executor memory.
+    ``bucket_subset``: restrict this invocation to the given buckets (the
+    wave unit used by :func:`run_filter_in_waves`); partition pruning makes
+    the restriction a scan-level filter.
     """
     from pyspark import StorageLevel
 
     pages = wh.read_pages(pages_table)
+    if bucket_subset is not None:
+        pages = pages.where(F.col("bucket").isin(list(bucket_subset)))
     todo = wh.resume_filter(pages, run_id)
     scored = score_pages(todo, gopher, model)
     # prune columns NEITHER sink reads before materializing the cache —
@@ -220,6 +226,42 @@ def validate_run(
     wh.append_audit(audit)
     return {"run_id": run_id, "docs_validated": docs,
             "revalidation_drop_rate": drop_rate, "status": status}
+
+
+def run_filter_in_waves(
+    wh: Warehouse,
+    run_id: str,
+    wave_buckets: int = 16,
+    pages_table: str = "pages",
+    clean_table: str = "pages_clean",
+    gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
+    model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
+    storage_level: str = "MEMORY_AND_DISK",
+) -> dict:
+    """Run the filter in bucket WAVES, checkpointing metrics after each —
+    this is what makes the kill/resume contract bucket-granular in practice:
+    a SIGKILL mid-run loses at most the current wave, not the whole run
+    (plain run_filter appends metrics once at the end, so a first-run crash
+    before the append rescored everything). At 10^12 docs an orchestrator
+    issues waves anyway; this makes one driver invocation do it.
+    """
+    pages = wh.read_pages(pages_table)
+    done = {r["bucket"] for r in wh.completed_buckets(run_id).collect()}
+    todo = sorted({r["bucket"] for r in
+                   pages.select("bucket").distinct().collect()} - done)
+    total = {"run_id": run_id, "docs_in": 0, "docs_kept": 0, "alerts": 0,
+             "waves": 0, "buckets_skipped": len(done)}
+    for lo in range(0, len(todo), wave_buckets):
+        chunk = todo[lo:lo + wave_buckets]
+        wave_pages_table = pages_table  # resume_filter inside re-checks
+        summary = run_filter(
+            wh, run_id, wave_pages_table, clean_table, gopher, model,
+            storage_level, bucket_subset=chunk)
+        total["docs_in"] += summary["docs_in"]
+        total["docs_kept"] += summary["docs_kept"]
+        total["alerts"] += summary["alerts"]
+        total["waves"] += 1
+    return total
 
 
 def metrics_drift(wh: Warehouse, run_id: str, baseline_run_id: str

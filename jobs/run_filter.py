@@ -39,12 +39,15 @@ def main() -> None:
     p.add_argument("--validate", action="store_true",
                    help="re-profile the clean table after the run and append "
                         "a completion/validation audit row")
+    p.add_argument("--wave-buckets", type=int, default=0,
+                   help="process buckets in waves of N, checkpointing "
+                        "metrics after each (kill loses at most one wave)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     from data_quality_autohealer_spark import synth
     from data_quality_autohealer_spark.plans.pipeline import (
-        run_filter, validate_run,
+        run_filter, run_filter_in_waves, validate_run,
     )
     from data_quality_autohealer_spark.session import get_spark
     from data_quality_autohealer_spark.warehouse import Warehouse
@@ -57,7 +60,13 @@ def main() -> None:
         wh.write_pages(pages, args.pages_table)
 
     t0 = time.perf_counter()
-    summary = run_filter(wh, args.run_id, args.pages_table, args.clean_table)
+    if args.wave_buckets:
+        summary = run_filter_in_waves(
+            wh, args.run_id, args.wave_buckets, args.pages_table,
+            args.clean_table)
+    else:
+        summary = run_filter(wh, args.run_id, args.pages_table,
+                             args.clean_table)
     if args.validate:
         summary["validation"] = validate_run(wh, args.run_id, args.clean_table)
     summary["sec"] = round(time.perf_counter() - t0, 2)

@@ -106,6 +106,22 @@ def test_drift_triggered_retrain(wh, spark):
     assert steps == {"same": "skipped", "bad": "retrained"}
 
 
+def test_run_filter_in_waves(wh, spark):
+    from data_quality_autohealer_spark.plans.pipeline import (
+        run_filter_in_waves,
+    )
+    summary = run_filter_in_waves(wh, "w1", wave_buckets=3)
+    assert summary["docs_in"] == N and summary["waves"] == 3  # ceil(8/3)
+    m = wh.read_metrics().where(F.col("run_id") == "w1")
+    assert m.select("bucket").distinct().count() == BUCKETS
+    # wave output identical to a single-shot run of the same corpus
+    single = run_filter(wh, "w1-single")
+    assert summary["docs_kept"] == single["docs_kept"]
+    # resume after waves: nothing left
+    again = run_filter_in_waves(wh, "w1", wave_buckets=3)
+    assert again["docs_in"] == 0 and again["buckets_skipped"] == BUCKETS
+
+
 def test_metrics_drift_per_bucket(wh, spark):
     from data_quality_autohealer_spark.plans.pipeline import metrics_drift
     run_filter(wh, "d1")
