@@ -718,6 +718,50 @@ def _q_pipeline_full(spark, sf_dir):
                      F.array_join("reasons", ",").alias("reasons_csv"))
 
 
+def _pages_from_docs(docs: DataFrame) -> DataFrame:
+    """Map the driver's documents table onto the pipeline's pages shape
+    (url/bucket/lang/text) with deterministic url + bucket derivations that
+    both engines can compute identically."""
+    return docs.select(
+        F.concat(F.lit("sf://doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        (F.col("doc_id") % 16).alias("bucket"),
+        "lang", "text")
+
+
+def _q_pipeline_heuristic(spark, sf_dir):
+    # the END-TO-END pipeline decision path (plans/pipeline.py score_pages:
+    # column-pruned select → signal columns → ensemble decision → scored
+    # projection), heuristics-only so every signal has a DuckDB twin and the
+    # full pipeline is HASH-checked, not just rows-only.
+    # Reference anchor: ensemble decision loop ensemble_classifier.py:91-139
+    # inside run_auto_healing.py:16-131.
+    from data_quality_autohealer_spark.plans.pipeline import score_pages
+    scored = score_pages(_pages_from_docs(_docs(spark, sf_dir)),
+                         include_model_rules=False)
+    return scored.select(
+        "url", "bucket", "lang", "word_count",
+        F.array_join("reasons", ",").alias("reasons_csv"), "keep")
+
+
+def _oracle_pipeline_heuristic() -> str:
+    sigs = th.duckdb_signal_sql("text")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in sigs.items())
+    reasons = _duck_reasons()
+    return f"""
+        with pages as (
+            select 'sf://doc/' || doc_id as url, doc_id % 16 as bucket,
+                   lang, text
+            from documents),
+        sig as (select url, bucket, lang, {cols} from pages)
+        select url, bucket, lang, word_count,
+               coalesce(list_aggregate({reasons}, 'string_agg', ','), '')
+                   as reasons_csv,
+               len({reasons}) = 0 as keep
+        from sig
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_signals": _q_quality_signals,
@@ -757,9 +801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_priority": _q_rollup_order_priority,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "neardup_groups": _q_neardup_groups,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "contamination_check": _q_contamination_check,
         "embedding_neardup_groups": _q_embedding_neardup_groups,
+        "pipeline_heuristic_decision": _q_pipeline_heuristic,
+        "pipeline_full_decision": _q_pipeline_full,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
@@ -768,10 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features_ann": _q_multimodal_features_ann,
-        "pipeline_full_decision": _q_pipeline_full,
     }
 
 
@@ -1119,6 +1164,10 @@ def oracle_sql() -> dict[str, str]:
             from orders
             group by rollup(o_orderstatus, o_orderpriority)
         """,
+        "minhash_lsh_pairs": dedup.duckdb_lsh_candidates_sql(
+            "documents", "text", "doc_id", k=8, rows_per_band=2,
+            shingle_n=2, max_bucket_size=dedup.DEFAULT_MAX_BUCKET),
+        "pipeline_heuristic_decision": _oracle_pipeline_heuristic(),
         "lsh_jaccard_pairs": dedup.duckdb_lsh_jaccard_sql(
             "documents", "text", "doc_id", **_CHAIN_PARAMS),
         "neardup_groups": dedup.duckdb_neardup_groups_sql(

@@ -366,22 +366,18 @@ def neardup_dedup(df: DataFrame, text_col: str = "text",
     return df.join(drop, on=id_col, how="left_anti")
 
 
-def _duck_chain_ctes(table: str, text_col: str, id_col: str, k: int,
-                     rows_per_band: int, shingle_n: int, jaccard_n: int,
-                     threshold: float, max_bucket_size: int) -> str:
-    """Shared CTE chain for the DuckDB LSH→Jaccard twins: signatures →
-    bands → capped buckets → candidate pairs → Jaccard-verified pairs."""
+def _duck_cand_ctes(table: str, text_col: str, id_col: str, k: int,
+                    rows_per_band: int, shingle_n: int,
+                    max_bucket_size: int) -> str:
+    """CTE chain for the LSH *candidate* stage (shared by the standalone
+    minhash_lsh_pairs twin and the full Jaccard chain): signatures → bands
+    → capped buckets → distinct candidate pairs."""
     sig_cols = ", ".join(minhash_sig_exprs(text_col, k, shingle_n, "duck"))
     n_bands = k // rows_per_band
     band_cols = ", ".join(band_exprs(k, rows_per_band, "duck"))
     stacked = " union all ".join(
         f"select {id_col}, '{b}:' || band_{b} as bucket from banded"
         for b in range(n_bands))
-    ng = _hashed_ngrams(text_col, jaccard_n, "duck")
-    # same |A∪B| = |A|+|B|−|A∩B| identity as the Spark side (sets, so equal)
-    jac = ("round(len(list_intersect(a.ngrams, b.ngrams))::double"
-           " / (len(a.ngrams) + len(b.ngrams)"
-           " - len(list_intersect(a.ngrams, b.ngrams))), 6)")
     return f"""
         sig as (select {id_col}, {sig_cols} from {table}),
         banded as (select {id_col}, {band_cols} from sig),
@@ -397,7 +393,36 @@ def _duck_chain_ctes(table: str, text_col: str, id_col: str, k: int,
             select distinct a.{id_col} as id_a, b.{id_col} as id_b
             from capped a join capped b
               on a.bucket = b.bucket and a.{id_col} < b.{id_col}
-        ),
+        )"""
+
+
+def duckdb_lsh_candidates_sql(table: str = "documents",
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8,
+                              rows_per_band: int = 2, shingle_n: int = 3,
+                              max_bucket_size: int = DEFAULT_MAX_BUCKET
+                              ) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` (the candidate generator is
+    fully deterministic — md5-based shingle hashes, affine min-hash,
+    md5 band keys — so it hash-matches, not just rows-only)."""
+    ctes = _duck_cand_ctes(table, text_col, id_col, k, rows_per_band,
+                           shingle_n, max_bucket_size)
+    return f"with {ctes} select id_a, id_b from cand"
+
+
+def _duck_chain_ctes(table: str, text_col: str, id_col: str, k: int,
+                     rows_per_band: int, shingle_n: int, jaccard_n: int,
+                     threshold: float, max_bucket_size: int) -> str:
+    """Shared CTE chain for the DuckDB LSH→Jaccard twins: signatures →
+    bands → capped buckets → candidate pairs → Jaccard-verified pairs."""
+    ng = _hashed_ngrams(text_col, jaccard_n, "duck")
+    # same |A∪B| = |A|+|B|−|A∩B| identity as the Spark side (sets, so equal)
+    jac = ("round(len(list_intersect(a.ngrams, b.ngrams))::double"
+           " / (len(a.ngrams) + len(b.ngrams)"
+           " - len(list_intersect(a.ngrams, b.ngrams))), 6)")
+    return f"""
+        {_duck_cand_ctes(table, text_col, id_col, k, rows_per_band,
+                         shingle_n, max_bucket_size)},
         ngr as (select {id_col}, {ng} as ngrams from {table}),
         verified as (
             select c.id_a, c.id_b, {jac} as jaccard
