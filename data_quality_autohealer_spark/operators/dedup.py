@@ -291,45 +291,90 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
             .where(F.col("jaccard") >= threshold))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Connected components of an undirected pair list via iterative
-    min-label propagation: each node's label becomes the min of its own and
-    its neighbours' labels, repeated to fixpoint. Returns (id, comp) where
-    comp = the minimal id in the component.
+class ComponentsNotConverged(RuntimeError):
+    """min-label propagation did not reach a fixpoint within max_iter rounds
+    — returning the partial labels would silently split components, so we
+    fail loudly instead (the DuckDB oracle twin computes the full transitive
+    closure and would disagree)."""
 
-    Scale shape: converges in O(cluster diameter) rounds (near-dup clusters
-    are shallow — boilerplate families are stars around a template); each
-    round is one join + one min-groupBy, both shuffling the EDGE list
-    (near-dup pairs ≪ corpus). Each round is materialized with
-    ``localCheckpoint`` — persist() alone is NOT enough for iterative
+
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         checkpoint_dir: str | None = None,
+                         stats: dict | None = None) -> DataFrame:
+    """Connected components of an undirected pair list via iterative
+    min-label propagation WITH per-round path compression (pointer
+    jumping): each node's label becomes the min over {its own label, its
+    neighbours' labels, its label's label}. Plain propagation needs
+    O(diameter) rounds; the compression step halves remaining path lengths
+    each round, so convergence is O(log diameter) — a 200-node path graph
+    converges in 8 rounds, not 200 (tests/test_neardup_chain.py).
+    Returns (id, comp) where comp = the minimal id in the component.
+
+    Scale shape: each round is two joins + one min-groupBy, all shuffling
+    the EDGE list (near-dup pairs ≪ corpus). Each round is materialized
+    with a checkpoint — persist() alone is NOT enough for iterative
     algorithms: the logical plan still nests the previous round's plan
     (labels appears twice per round → 2^k tree growth) and Spark OOMs just
-    BUILDING THE PLAN STRING after a few rounds. localCheckpoint truncates
-    lineage to the materialized blocks. On a real cluster with a fault
-    domain, swap for reliable ``checkpoint()`` (HDFS-backed) — local blocks
-    die with an executor.
+    BUILDING THE PLAN STRING after a few rounds. Checkpointing truncates
+    lineage to the materialized blocks.
+
+    ``checkpoint_dir``: when given (a fault-tolerant path — HDFS/S3 on a
+    real cluster), rounds are materialized with reliable ``checkpoint()``
+    so a lost executor doesn't kill the whole iteration; default is
+    ``localCheckpoint()`` (fine on local[*], blocks die with an executor).
+
+    Raises :class:`ComponentsNotConverged` if the fixpoint is not reached
+    within ``max_iter`` rounds (never returns silently-wrong splits).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # materialize the edge list ONCE with truncated lineage — every round
     # joins against it, and without this each round would re-run the whole
     # upstream plan (e.g. the LSH+Jaccard chain) from scratch
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))
-             ).localCheckpoint()
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id"))).localCheckpoint()
+    edges = _ckpt(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst"))))
+    labels = _ckpt(edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("comp", F.col("id")))
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
+        # neighbour labels + my label's label (path compression), tagged so
+        # ONE agg produces both the new label and the old one: the change
+        # count is then a scan of the just-materialized blocks — no second
+        # join-the-old-frame job per round
         msgs = (edges.join(labels, edges.src == labels.id)
                 .select(F.col("dst").alias("id"), F.col("comp")))
-        new_labels = (labels.union(msgs)
-                      .groupBy("id").agg(F.min("comp").alias("comp"))
-                      ).localCheckpoint()
-        n_changed = (new_labels.alias("n")
-                     .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                     .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
+        lbl2 = labels.alias("x").join(
+            labels.alias("y"), F.col("x.comp") == F.col("y.id")
+        ).select(F.col("x.id").alias("id"), F.col("y.comp").alias("comp"))
+        own = labels.withColumn("_own", F.col("comp"))
+        others = msgs.union(lbl2).withColumn(
+            "_own", F.lit(None).cast(labels.schema["comp"].dataType))
+        new_labels = _ckpt(
+            own.unionByName(others)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"), F.min("_own").alias("_own")))
+        n_changed = new_labels.where(F.col("comp") != F.col("_own")).count()
+        labels = new_labels.select("id", "comp")
         if n_changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise ComponentsNotConverged(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"(component diameter too large — raise max_iter)")
     return labels
 
 

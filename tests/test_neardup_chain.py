@@ -117,3 +117,36 @@ def test_lsh_jaccard_chain_recall():
     assert recall >= 0.9, f"recall {recall:.3f} ({len(exact)} exact pairs)"
     # chain pairs are Jaccard-verified, so precision vs the unblocked exact
     # criterion is 1.0 by construction (every chain pair passed the filter)
+
+
+def test_components_path_graph_log_rounds(spark):
+    # 200-node path graph: diameter 199 — plain min-label propagation needs
+    # ~199 rounds; with per-round path compression it must converge in
+    # O(log n) rounds, well inside the default max_iter=25
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(199)],
+                                  "id_a long, id_b long")
+    stats = {}
+    comp = dedup.connected_components(pairs, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == 200
+    assert {r["comp"] for r in rows} == {0}
+    assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
+
+
+def test_components_raise_on_non_convergence(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "id_a long, id_b long")
+    with pytest.raises(dedup.ComponentsNotConverged):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_components_reliable_checkpoint_dir(spark, tmp_path):
+    # cluster mode: reliable checkpoint() instead of localCheckpoint()
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    ckpt = str(tmp_path / "ckpt")
+    comp = dedup.connected_components(pairs, checkpoint_dir=ckpt)
+    got = {(r["id"], r["comp"]) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    import os
+    assert os.listdir(ckpt), "reliable checkpoint wrote nothing"
