@@ -454,11 +454,18 @@ def _q_zscore_outliers(spark, sf_dir):
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .where(F.col("value").isNotNull() & ~F.isnan("value")))
     w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    # degenerate-group guard, IDENTICAL in both dialects: nullif(stddev,0)
+    # keeps a zero-variance group's z NULL (instead of engine-specific
+    # inf/NULL division results), and the outlier sum coalesces to 0 so a
+    # single-row group reports 0 outliers in both engines
+    z = ((F.col("value") - F.avg("value").over(w))
+         / F.nullif(F.stddev("value").over(w), F.lit(0.0)))
     return (ev.withColumn("_z", z)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum((F.abs(F.col("_z")) > 3).cast("long"))
+                 F.coalesce(
+                     F.sum((F.abs(F.col("_z")) > 3).cast("long")),
+                     F.lit(0).cast("long"))
                  .alias("n_outliers")))
 
 
@@ -1102,7 +1109,8 @@ def oracle_sql() -> dict[str, str]:
             with z as (
                 select event_type,
                        (value - avg(value) over (partition by event_type))
-                       / stddev_samp(value) over (partition by event_type)
+                       / nullif(stddev_samp(value)
+                                over (partition by event_type), 0)
                            as zv
                 from events
                 where value is not null and not isnan(value)

@@ -47,24 +47,92 @@ def create_app(spark):
             "perplexity_tokens": int(perplexity.get_model().total),
         })
 
+    def _read_alert_rows(wh):
+        """Alerts rows, treating ONLY a missing alerts table as 'no alerts
+        yet' — any other failure (broken path, schema corruption) must
+        propagate, not masquerade as an empty feed."""
+        from pyspark.errors import AnalysisException
+        try:
+            return wh.read_alerts().collect()
+        except AnalysisException as e:
+            msg = str(e)
+            if ("PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg):
+                return []  # clean run with zero alerts writes no table
+            raise
+
+    def _alert_payload(r) -> dict:
+        return {"run_id": r["run_id"], "bucket": r["bucket"],
+                "severity": r["severity"], "drop_rate": r["drop_rate"]}
+
     @app.get("/alerts")
     def alerts():
         # pull analogue of the reference's WebSocket broadcaster
-        # (websocket_server.py) — no websocket library in this container, so
-        # the live surface is polling this endpoint (or SSE on a real deploy)
+        # (websocket_server.py); the push analogue is /alerts/stream below
         from data_quality_autohealer_spark.warehouse import Warehouse
         wh_path = request.args.get("warehouse")
         if not wh_path:
             return jsonify({"error": "warehouse query param required"}), 400
         wh = Warehouse(spark, wh_path)
         try:
-            rows = wh.read_alerts().collect()
-        except Exception:
-            rows = []
-        return jsonify({"alerts": [
-            {"run_id": r["run_id"], "bucket": r["bucket"],
-             "severity": r["severity"], "drop_rate": r["drop_rate"]}
-            for r in rows]})
+            rows = _read_alert_rows(wh)
+        except Exception as e:
+            return jsonify({"error": str(e)[:500]}), 500
+        return jsonify({"alerts": [_alert_payload(r) for r in rows]})
+
+    @app.get("/alerts/stream")
+    def alerts_stream():
+        # live-push analogue of the reference's WebSocket broadcaster
+        # (src/api/websocket_server.py:73-108, Kafka consume → asyncio
+        # broadcast to connected dashboards): Server-Sent Events over the
+        # alerts table — each poll tick pushes rows not yet sent on this
+        # connection as `event: alert` frames, with an SSE comment heartbeat
+        # per empty tick so clients see liveness. The batch-graft equivalent
+        # of the Kafka→WS bridge (the alerts table IS the alert topic here,
+        # warehouse.py append_alerts).
+        import json as _json
+        import time as _time
+
+        from flask import Response
+
+        from data_quality_autohealer_spark.warehouse import Warehouse
+        wh_path = request.args.get("warehouse")
+        if not wh_path:
+            return jsonify({"error": "warehouse query param required"}), 400
+        poll_sec = float(request.args.get("poll_sec", 1.0))
+        max_ticks = int(request.args.get("max_ticks", 0))  # 0 = forever
+        wh = Warehouse(spark, wh_path)
+
+        def gen():
+            seen: set = set()
+            tick = 0
+            while True:
+                tick += 1
+                try:
+                    rows = _read_alert_rows(wh)
+                except Exception as e:
+                    yield ("event: error\ndata: "
+                           + _json.dumps({"error": str(e)[:500]}) + "\n\n")
+                    return
+                fresh = False
+                for r in rows:
+                    key = (r["run_id"], r["bucket"])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    fresh = True
+                    yield ("event: alert\ndata: "
+                           + _json.dumps(_alert_payload(r)) + "\n\n")
+                if not fresh:
+                    yield f": tick {tick}\n\n"  # SSE heartbeat comment
+                if max_ticks and tick >= max_ticks:
+                    yield "event: end\ndata: {}\n\n"
+                    return
+                _time.sleep(poll_sec)
+
+        return Response(gen(), mimetype="text/event-stream",
+                        headers={"Cache-Control": "no-cache",
+                                 "X-Accel-Buffering": "no"})
 
     @app.get("/report")
     def report():

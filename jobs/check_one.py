@@ -54,7 +54,9 @@ def check_documents(spark, texts: list[str],
     rows = (score_pages(df)
             .select("url", "keep", "reasons", "confidences", "scrubbed_text")
             .collect())
-    rows.sort(key=lambda r: r["url"])
+    # numeric index sort — lexicographic url order would put doc/10 before
+    # doc/2 and break the caller's input-order contract past 9 documents
+    rows.sort(key=lambda r: int(r["url"].rsplit("/", 1)[1]))
 
     scores: dict[str, float] = {}
     for r in rows:

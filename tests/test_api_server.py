@@ -80,3 +80,55 @@ def test_check_error_paths(client):
         "file": (io.BytesIO(bad_csv), "x.csv"),
     }, content_type="multipart/form-data")
     assert r.status_code == 400
+
+
+def test_alerts_stream_sse_live_push(client, spark, tmp_path):
+    """SSE analogue of the reference's WebSocket broadcaster: a client
+    attached to /alerts/stream receives an alert event that lands AFTER the
+    stream opened (VERDICT r02 item 4)."""
+    import json
+
+    from data_quality_autohealer_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "ssewh"), num_buckets=4)
+    rv = client.get("/alerts/stream", query_string={
+        "warehouse": wh.root, "poll_sec": "0.05", "max_ticks": "200"})
+    assert rv.status_code == 200
+    assert rv.mimetype == "text/event-stream"
+    it = rv.iter_encoded()
+    first = next(it)  # no alerts table yet → heartbeat comment
+    assert first.startswith(b": tick")
+    # an alert lands while the stream is open
+    wh.append_alerts(spark.createDataFrame(
+        [("rA", 3, "high", 0.83, "{}")],
+        "run_id string, bucket int, severity string, drop_rate double, "
+        "payload string"))
+    got = None
+    for chunk in it:
+        if chunk.startswith(b"event: alert"):
+            got = chunk
+            break
+    assert got is not None, "stream never pushed the alert"
+    body = json.loads(got.split(b"data: ", 1)[1])
+    assert body == {"run_id": "rA", "bucket": 3, "severity": "high",
+                    "drop_rate": 0.83}
+    rv.close()
+
+
+def test_alerts_broken_warehouse_is_500_not_empty(client, tmp_path):
+    """A genuinely broken alerts table must surface as an error, not as
+    'no alerts' (ADVICE r02)."""
+    import pathlib
+    wh_root = tmp_path / "brokenwh"
+    (wh_root / "alerts").mkdir(parents=True)
+    (wh_root / "alerts" / "part-0000.parquet").write_bytes(
+        b"this is not a parquet file")
+    r = client.get("/alerts", query_string={"warehouse": str(wh_root)})
+    assert r.status_code == 500
+    assert "error" in r.get_json()
+
+
+def test_alerts_missing_table_is_empty_list(client, tmp_path):
+    r = client.get("/alerts",
+                   query_string={"warehouse": str(tmp_path / "emptywh")})
+    assert r.status_code == 200 and r.get_json()["alerts"] == []

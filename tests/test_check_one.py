@@ -45,3 +45,16 @@ def test_scores_are_rule_confidences(spark):
                  if s >= ENSEMBLE_THRESHOLD]
     assert set(confident) <= set(resp["detected_issues"])
     assert not resp["documents"][0]["keep"]
+
+
+def test_documents_preserve_input_order_past_ten(spark):
+    """≥10 docs: lexicographic url sort would put doc/10 before doc/2
+    (ADVICE r02) — the response must follow the caller's input order."""
+    import numpy as np
+    from data_quality_autohealer_spark import synth
+    pdf = synth.gen_pages_pdf(np.arange(200))
+    good = pdf[reference_labels(pdf)["keep"]].head(12)
+    resp = check_documents(spark, good["text"].tolist(),
+                           good["lang"].tolist())
+    urls = [d["url"] for d in resp["documents"]]
+    assert urls == [f"adhoc://doc/{i}" for i in range(12)]

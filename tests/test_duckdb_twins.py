@@ -38,3 +38,31 @@ def test_query_matches_duckdb_twin(name, spark, duck):
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert value_hash(sdf) == value_hash(odf)
+
+
+def test_zscore_degenerate_groups_match_oracle(spark, tmp_path):
+    """Adversarial events: a single-row group, a zero-variance group, and a
+    normal group must agree across engines (ADVICE r02: Spark NULL-sum vs
+    DuckDB CASE-else-0 divergence on degenerate groups)."""
+    import pandas as pd
+
+    rows = [("solo", 5.0)]
+    rows += [("flat", 2.0)] * 6
+    rows += [("normal", float(v)) for v in
+             [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 100]]
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    # point an sf-dir shim at the crafted table
+    sf_dir = str(tmp_path)
+    os.rename(path, os.path.join(sf_dir, "events.parquet"))
+
+    sdf = entry_mod.queries()["zscore_outliers_events"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    odf = con.execute(entry_mod.oracle_sql()["zscore_outliers_events"]).fetchdf()
+    assert len(sdf) == len(odf) == 3
+    assert value_hash(sdf) == value_hash(odf)
+    by_type = {r.event_type: r.n_outliers for r in sdf.itertuples()}
+    assert by_type["solo"] == 0 and by_type["flat"] == 0
