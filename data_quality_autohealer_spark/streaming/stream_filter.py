@@ -32,17 +32,56 @@ def stream_pages_from_files(spark: SparkSession, path: str,
             .parquet(path))
 
 
+# the exact columns `readStream.format("kafka")` emits — kept as a DDL so
+# tests can build wire-identical frames without a broker
+KAFKA_WIRE_DDL = ("key binary, value binary, topic string, partition int, "
+                  "offset long, timestamp timestamp, timestampType int")
+
+
+def decode_kafka_frame(raw: DataFrame) -> DataFrame:
+    """PURE projection from the Kafka wire frame (key/value binary + topic
+    metadata) to PAGES_SCHEMA rows: JSON-decode ``value`` (binary html rides
+    as base64 inside the JSON, from_json's BinaryType convention).
+
+    Factored out of :func:`stream_pages_from_kafka` so the decode is
+    testable without a Kafka broker — batch/file/memory sources drive it
+    against KAFKA_WIRE_DDL-shaped frames (tests/test_streaming.py), and the
+    real Kafka source applies the very same function.
+    """
+    return (raw.select(
+        F.from_json(F.col("value").cast("string"), PAGES_SCHEMA_DDL)
+        .alias("page")).select("page.*"))
+
+
+def encode_kafka_frame(pages: DataFrame,
+                       topic: str = "data-quality-pages") -> DataFrame:
+    """Producer-side twin (reference kafka_producer.py:36-109, JSON events
+    keyed by document id): pages → Kafka wire shape, key = url bytes,
+    value = JSON bytes. Pass to ``writeStream.format("kafka")`` on a real
+    cluster; in tests, the roundtrip ``decode(encode(pages)) == pages`` is
+    asserted exactly."""
+    cols = pages.columns
+    return pages.select(
+        F.col("url").cast("binary").alias("key"),
+        F.to_json(F.struct(*cols)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
 def stream_pages_from_kafka(spark: SparkSession, brokers: str,
                             topic: str) -> DataFrame:
     """Kafka source: JSON-encoded pages on ``topic`` (reference topic map,
     kafka_producer.py:23-27). Requires the spark-sql-kafka package on the
-    cluster (not present in this sandbox)."""
+    cluster (not present in this sandbox); the decode projection itself is
+    the broker-independent :func:`decode_kafka_frame`."""
     raw = (spark.readStream.format("kafka")
            .option("kafka.bootstrap.servers", brokers)
            .option("subscribe", topic).load())
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), PAGES_SCHEMA_DDL)
-        .alias("page")).select("page.*")
+    return decode_kafka_frame(raw)
 
 
 def scored_stream(pages_stream: DataFrame) -> DataFrame:

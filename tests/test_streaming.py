@@ -161,3 +161,46 @@ def test_windowed_host_metrics_executes(spark, tmp_path):
     # any) must be consistent
     for r in rows:
         assert r["docs_in"] >= r["docs_kept"] >= 0
+
+
+def test_kafka_wire_decode_roundtrip(spark):
+    """The Kafka decode projection is a pure function over the exact wire
+    schema readStream.format('kafka') emits (key/value binary + topic
+    metadata) — exercised here without a broker (VERDICT r02 item 6).
+    decode(encode(pages)) must reproduce pages exactly, including the
+    binary html column (base64 inside the JSON value)."""
+    pages = synth.gen_pages_df(spark, 40, num_partitions=2)
+    wire = stream_filter.encode_kafka_frame(pages)
+    assert dict(wire.dtypes) == dict(
+        spark.createDataFrame([], stream_filter.KAFKA_WIRE_DDL).dtypes)
+    decoded = stream_filter.decode_kafka_frame(wire)
+    assert decoded.schema == pages.schema
+    orig = {r["url"]: r for r in pages.collect()}
+    got = {r["url"]: r for r in decoded.collect()}
+    assert set(got) == set(orig)
+    for url, r in got.items():
+        o = orig[url]
+        assert (r["text"], r["lang"], r["warc_ts"]) == \
+               (o["text"], o["lang"], o["warc_ts"])
+        assert bytes(r["html"] or b"") == bytes(o["html"] or b"")
+
+
+def test_kafka_wire_decode_feeds_scorer_in_streaming(spark, tmp_path):
+    """kafka-shaped frames → decode → the SAME batch scorer, end-to-end as
+    a stream (file source standing in for the broker with the identical
+    wire columns)."""
+    pages = synth.gen_pages_df(spark, 60, num_partitions=2)
+    wire_dir = str(tmp_path / "wire")
+    stream_filter.encode_kafka_frame(pages).write.parquet(wire_dir)
+    raw = (spark.readStream.schema(stream_filter.KAFKA_WIRE_DDL)
+           .parquet(wire_dir))
+    scored = stream_filter.scored_stream(
+        stream_filter.decode_kafka_frame(raw))
+    q = (scored.writeStream.format("memory").queryName("kafka_decode_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select url, keep from kafka_decode_t").collect()
+    assert len(out) == 60
+    batch = {r["url"]: r["keep"] for r in
+             score_pages(pages).select("url", "keep").collect()}
+    assert {r["url"]: r["keep"] for r in out} == batch
