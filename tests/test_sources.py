@@ -59,3 +59,27 @@ def test_perplexity_model_env_override(tmp_path):
     seed_pplx = float(P.get_model().log_perplexity_series(
         pd.Series(["zebra quokka axolotl wanders nightly"]))[0])
     assert override_pplx < seed_pplx - 2.0
+
+
+def test_pyfiles_zip_matches_package():
+    """dist/dqa_spark.zip is build-on-demand (gitignored): the builder must
+    package exactly the current package sources, byte-identical — a stale
+    zip shipped to --py-files is a silent version skew (VERDICT r02 item 7)."""
+    import os
+    import zipfile
+
+    from tools import make_pyfiles
+
+    out = make_pyfiles.main()
+    root = make_pyfiles.ROOT
+    expected = {}
+    for base, _, files in os.walk(os.path.join(root, make_pyfiles.PKG)):
+        if "__pycache__" in base:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(base, f)
+                expected[os.path.relpath(full, root)] = open(full, "rb").read()
+    with zipfile.ZipFile(out) as z:
+        got = {n: z.read(n) for n in z.namelist()}
+    assert got == expected
