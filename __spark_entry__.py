@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
-    contamination, dedup, profiler, sessions, similarity, skew,
+    contamination, curation, dedup, profiler, sessions, similarity, skew,
 )
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
@@ -769,6 +769,34 @@ def _oracle_pipeline_heuristic() -> str:
     """
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic hash-fraction stratified sampling (training-mixture
+    # curation): shuffle-free per-row predicate, reproducible across runs
+    from data_quality_autohealer_spark.operators import curation
+    return curation.stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT).select("doc_id", "lang", "sample_frac")
+
+
+def _q_quality_strata(spark, sf_dir):
+    # ntile quality stratification over the word_count signal: the census
+    # that feeds per-stratum mixture weights
+    from data_quality_autohealer_spark.operators import curation
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    return curation.quality_strata(df, "word_count", n_tiles=4)
+
+
+def _q_top_terms_per_lang(spark, sf_dir):
+    # per-language vocabulary census: explode -> map-side-combined count ->
+    # per-group top-k window
+    from data_quality_autohealer_spark.operators import curation
+    return curation.top_terms_per_group(_docs(spark, sf_dir), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_signals": _q_quality_signals,
@@ -814,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_groups": _q_embedding_neardup_groups,
         "pipeline_heuristic_decision": _q_pipeline_heuristic,
         "pipeline_full_decision": _q_pipeline_full,
+        "stratified_sample": _q_stratified_sample,
+        "quality_strata": _q_quality_strata,
+        "top_terms_per_lang": _q_top_terms_per_lang,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
@@ -1176,6 +1207,13 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", k=8, rows_per_band=2,
             shingle_n=2, max_bucket_size=dedup.DEFAULT_MAX_BUCKET),
         "pipeline_heuristic_decision": _oracle_pipeline_heuristic(),
+        "stratified_sample": curation.duckdb_stratified_sample_sql(
+            "documents", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT),
+        "quality_strata": curation.duckdb_quality_strata_sql(
+            "documents", th.duckdb_signal_sql("text")["word_count"],
+            n_tiles=4),
+        "top_terms_per_lang": curation.duckdb_top_terms_sql(
+            "documents", k=10),
         "lsh_jaccard_pairs": dedup.duckdb_lsh_jaccard_sql(
             "documents", "text", "doc_id", **_CHAIN_PARAMS),
         "neardup_groups": dedup.duckdb_neardup_groups_sql(

@@ -27,6 +27,7 @@ HEADLINE = [
     "quality_drop_summary",
     "pii_scrub",
     "pipeline_full_decision",
+    "pipeline_heuristic_decision",
     "profile_documents",
     "outlier_iqr_lineitem",
     "outlier_iqr_approx",

@@ -1,0 +1,142 @@
+"""Training-mixture curation operators: deterministic stratified sampling,
+quality stratification, and per-group term census — the selection layer a
+large-scale training-data pipeline runs AFTER filtering/dedup.
+
+No reference analogue (the reference stops at detect/remediate); these are
+web-scale-pipeline necessities in the same first-class style as
+operators/dedup.py: every operator is a pair of engine-identical builders
+(Spark exprs + DuckDB SQL) so the driver's oracle gate hash-checks them.
+
+Scale shapes:
+- ``stratified_sample`` is a pure per-row predicate (hash → fraction →
+  compare): shuffle-free, trivially partition-parallel, and REPRODUCIBLE —
+  the same (salt, id) always lands on the same side, so re-runs and
+  resumed jobs select the identical sample without coordination.
+- ``quality_strata`` uses one global ntile window (single range shuffle at
+  ~16 B/doc) — at 10^12 rows swap the exact ntile for percentile_approx
+  cut points (the documented A2/A8 pattern) and a per-row bucket lookup.
+- ``top_terms_per_group`` explodes words (the one genuinely token-volume
+  shuffle here) but Spark's hash aggregate does map-side partial counts,
+  so shuffle volume is O(distinct (group, word)) per partition, not
+  O(tokens); the final top-k is a per-group window over the counted frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text_heuristics as th
+from . import dedup
+
+# 6-dp sampling grid: integer mod then one double division — both engines
+# produce the bit-identical fraction, so the keep predicate is exact.
+_FRAC_MOD = 1_000_000
+
+
+def _hash_frac_sql(id_expr: str, salt: str, engine: str) -> str:
+    """Deterministic uniform fraction in [0, 1) from (salt, id): the shared
+    60-bit md5 base hash (dedup._hash_base) mod 10^6 / 10^6."""
+    if engine == "spark":
+        keyed = f"concat('{salt}:', cast({id_expr} as string))"
+    else:
+        keyed = f"'{salt}:' || {id_expr}"
+    hb = dedup._hash_base(keyed, engine)
+    return f"(({hb}) % {_FRAC_MOD}) / cast({_FRAC_MOD} as double)"
+
+
+def _rate_case_sql(strata_col: str, rates: dict[str, float],
+                   default_rate: float) -> str:
+    whens = " ".join(f"when '{s}' then cast({r} as double)"
+                     for s, r in sorted(rates.items()))
+    return (f"case {strata_col} {whens} "
+            f"else cast({default_rate} as double) end")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "samp") -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff
+    hash_frac(salt, id) < rate[stratum]. Changing ``salt`` draws an
+    independent sample; rates are exact on the 10^-6 grid."""
+    frac = _hash_frac_sql(id_col, salt, "spark")
+    rate = _rate_case_sql(strata_col, rates, default_rate)
+    return (df.withColumn("sample_frac", F.expr(f"round({frac}, 6)"))
+            .where(F.expr(f"{frac} < {rate}")))
+
+
+def duckdb_stratified_sample_sql(table: str, rates: dict[str, float],
+                                 strata_col: str = "lang",
+                                 id_col: str = "doc_id",
+                                 default_rate: float = 0.0,
+                                 salt: str = "samp",
+                                 select_cols: str = "doc_id, lang") -> str:
+    frac = _hash_frac_sql(id_col, salt, "duck")
+    rate = _rate_case_sql(strata_col, rates, default_rate)
+    return (f"select {select_cols}, round({frac}, 6) as sample_frac "
+            f"from {table} where {frac} < {rate}")
+
+
+def quality_strata(df: DataFrame, score_col: str, n_tiles: int = 4,
+                   id_col: str = "doc_id") -> DataFrame:
+    """ntile quality stratification + per-stratum census (the curation
+    step that feeds mixture weights): deterministic tie-break on id."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return (df.withColumn("stratum", F.ntile(n_tiles).over(w))
+            .groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(score_col).alias("min_score"),
+                 F.max(score_col).alias("max_score"))
+            .orderBy("stratum"))
+
+
+def duckdb_quality_strata_sql(table: str, score_expr: str,
+                              n_tiles: int = 4,
+                              id_col: str = "doc_id") -> str:
+    return f"""
+        with s as (select {id_col}, {score_expr} as score from {table}),
+        t as (select score,
+                     ntile({n_tiles}) over (order by score asc, {id_col} asc)
+                         as stratum
+              from s)
+        select stratum, count(*)::bigint as n_docs,
+               min(score) as min_score, max(score) as max_score
+        from t group by stratum order by stratum
+    """
+
+
+def top_terms_per_group(df: DataFrame, text_col: str = "text",
+                        group_col: str = "lang", k: int = 10) -> DataFrame:
+    """Top-k most frequent whitespace tokens per group (vocabulary census).
+    explode → hash-agg count (map-side partial combine) → per-group
+    row_number top-k; ties broken alphabetically for determinism."""
+    from pyspark.sql.window import Window
+
+    words = (df.select(group_col,
+                       F.explode(F.expr(th._spark_words(text_col)))
+                       .alias("term"))
+             .groupBy(group_col, "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("n").desc(), F.col("term").asc()))
+    return (words.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def duckdb_top_terms_sql(table: str, text_col: str = "text",
+                         group_col: str = "lang", k: int = 10) -> str:
+    words = th._duck_words(text_col)
+    return f"""
+        with w as (select {group_col}, unnest({words}) as term from {table}),
+        c as (select {group_col}, term, count(*)::bigint as n
+              from w group by {group_col}, term),
+        r as (select {group_col}, term, n,
+                     row_number() over (partition by {group_col}
+                         order by n desc, term asc) as rank
+              from c)
+        select {group_col}, term, n, rank::int as rank from r
+        where rank <= {k}
+    """

@@ -35,14 +35,20 @@ def main() -> None:
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--max-bucket-size", type=int, default=1000)
     p.add_argument("--master", default=None)
+    p.add_argument("--generate", type=int, default=0,
+                   help="generate N synthetic pages into the warehouse first")
     args = p.parse_args()
 
+    from data_quality_autohealer_spark import synth
     from data_quality_autohealer_spark.operators import dedup
     from data_quality_autohealer_spark.session import get_spark
     from data_quality_autohealer_spark.warehouse import AUDIT_SCHEMA, Warehouse
 
     spark = get_spark(app_name=f"dqa-dedup-{args.mode}", master=args.master)
     wh = Warehouse(spark, args.warehouse)
+    if args.generate:
+        wh.write_pages(synth.gen_pages_df(spark, args.generate),
+                       args.pages_table)
     pages = wh.read_pages(args.pages_table)
     n_in = pages.count()
 

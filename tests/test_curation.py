@@ -1,0 +1,78 @@
+"""Curation operators: deterministic stratified sampling, quality strata,
+per-group term census (round-3 first-class additions; oracle twins are
+exercised by the driver gate + check_oracle)."""
+
+import pyspark.sql.functions as F
+
+from data_quality_autohealer_spark.operators import curation
+
+
+def _ids(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr("case when id % 4 = 0 then 'en' when id % 4 = 1 then 'de' "
+               "when id % 4 = 2 then 'fr' else 'xx' end").alias("lang"))
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = _ids(spark, 20000)
+    rates = {"en": 0.5, "de": 0.2}
+    samp = curation.stratified_sample(df, rates, default_rate=0.05)
+    counts = {r["lang"]: r["n"] for r in
+              samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # each stratum has 5000 docs; hash fractions are uniform to ~2%
+    assert abs(counts["en"] / 5000 - 0.5) < 0.03
+    assert abs(counts["de"] / 5000 - 0.2) < 0.03
+    assert abs(counts.get("fr", 0) / 5000 - 0.05) < 0.02
+    assert abs(counts.get("xx", 0) / 5000 - 0.05) < 0.02
+    # reproducible: the same (salt, id) always selects the same rows
+    a = {r["doc_id"] for r in samp.select("doc_id").collect()}
+    b = {r["doc_id"] for r in curation.stratified_sample(
+        df, rates, default_rate=0.05).select("doc_id").collect()}
+    assert a == b
+    # every emitted fraction is below its stratum's rate
+    over = samp.where(
+        (F.col("lang") == "en") & (F.col("sample_frac") >= 0.5)).count()
+    assert over == 0
+
+
+def test_stratified_sample_salts_draw_independent_samples(spark):
+    df = _ids(spark, 8000)
+    rates = {"en": 0.3, "de": 0.3, "fr": 0.3, "xx": 0.3}
+    a = {r["doc_id"] for r in curation.stratified_sample(
+        df, rates, salt="s1").select("doc_id").collect()}
+    b = {r["doc_id"] for r in curation.stratified_sample(
+        df, rates, salt="s2").select("doc_id").collect()}
+    assert a != b
+    # overlap/|a| ≈ rate (independent draws), loose bound
+    overlap = len(a & b) / len(a)
+    assert 0.15 < overlap < 0.45
+
+
+def test_quality_strata_balanced_and_monotonic(spark):
+    df = spark.range(1003).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 997).cast("int").alias("score"))
+    strata = curation.quality_strata(df, "score", n_tiles=4).collect()
+    sizes = [r["n_docs"] for r in strata]
+    assert sum(sizes) == 1003 and max(sizes) - min(sizes) <= 1
+    for lo, hi in zip(strata, strata[1:]):
+        assert lo["max_score"] <= hi["min_score"]
+
+
+def test_top_terms_shape_and_map_side_combine(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c", "en"), (1, "b b c c c d", "en"),
+         (2, "x y x y x", "de")],
+        "doc_id long, text string, lang string")
+    out = curation.top_terms_per_group(df, k=2)
+    rows = {(r["lang"], r["rank"]): (r["term"], r["n"])
+            for r in out.collect()}
+    assert rows[("en", 1)] == ("b", 4) and rows[("en", 2)] == ("c", 4)
+    assert rows[("de", 1)] == ("x", 3) and rows[("de", 2)] == ("y", 2)
+    # the count must partial-aggregate map-side: two HashAggregates with
+    # ONE exchange between them, so shuffle volume is per-partition
+    # distinct terms, not exploded tokens
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
