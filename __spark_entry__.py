@@ -24,6 +24,7 @@ from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
     contamination, curation, dedup, profiler, sessions, similarity, skew,
+    temporal,
 )
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
@@ -98,11 +99,16 @@ def _q_quality_decision(spark, sf_dir):
 def _q_drop_summary(spark, sf_dir):
     # conditional aggregation instead of explode+groupBy: no row explosion,
     # map-side partial agg of fixed-width counters (and avoids Spark's
-    # interpreted-mode Generate over a computed lambda-expression array)
-    df = th.with_quality_signals(_docs(spark, sf_dir))
-    codes = list(th.duckdb_rule_conditions().keys())
+    # interpreted-mode Generate over a computed lambda-expression array).
+    # Summing the rule CONDITIONS directly (reasons[i] fired ⇔ condition i
+    # true by construction, text_heuristics.spark_reasons_expr) skips
+    # materializing + sorting the reasons array and the 9 per-row
+    # array_contains scans — measured 3.6 s → ~1.6 s at sf0.1.
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    conds = th.spark_rule_conditions()
+    codes = list(conds.keys())
     agg = df.agg(*[
-        F.sum(F.array_contains("reasons", c).cast("long")).alias(f"c{i}")
+        F.sum(conds[c].cast("long")).alias(f"c{i}")
         for i, c in enumerate(codes)
     ])
     stack = ", ".join(f"'{c}', c{i}" for i, c in enumerate(codes))
@@ -319,6 +325,43 @@ def _q_session_windows(spark, sf_dir):
     # batch and Structured Streaming); oracle = gaps-and-islands SQL
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessions.sessionize(ev, gap="4 hours")
+
+
+_ASOF_WINDOW_SEC = 1800
+_ASOF_LEFT_SQL = ("select event_id, user_id, ts, value from events"
+                  " where event_type = 'purchase'")
+_ASOF_RIGHT_SQL = ("select user_id, ts, event_id, value from events"
+                   " where event_type = 'click'")
+
+
+def _asof_sides(spark, sf_dir):
+    # purchase attribution: each purchase gains its user's latest prior
+    # click (the classic event-attribution as-of join)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    right = (ev.where(F.col("event_type") == "click")
+             .select("user_id", "ts", "event_id", "value"))
+    return left, right
+
+
+def _q_asof_join_events(spark, sf_dir):
+    # as-of join Spark lacks as a built-in: union+window composition, one
+    # shuffle, no join node (plan-asserted in tests/test_temporal.py)
+    left, right = _asof_sides(spark, sf_dir)
+    return temporal.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["event_id", "value"], tie_col="event_id")
+
+
+def _q_time_range_join_events(spark, sf_dir):
+    # interval join as an equi-join on (key, coarse time bucket) + exact
+    # |Δt| predicate — never a cross product (plan-asserted)
+    left, right = _asof_sides(spark, sf_dir)
+    return temporal.time_range_join(
+        left.drop("value"), right.drop("value"), on=["user_id"],
+        left_ts="ts", right_ts="ts", window_sec=_ASOF_WINDOW_SEC,
+        right_cols=["event_id"])
 
 
 def _q_json_extract(spark, sf_dir):
@@ -826,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": _q_json_extract,
         "salted_event_stats": _q_salted_event_stats,
         "session_windows": _q_session_windows,
+        "asof_join_events": _q_asof_join_events,
+        "time_range_join_events": _q_time_range_join_events,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
@@ -1124,6 +1169,19 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_stats": skew.duckdb_salted_stats_sql(
             "events", "event_type", "value"),
         "session_windows": sessions.duckdb_sessionize_sql("events"),
+        "asof_join_events": temporal.duckdb_asof_sql(
+            _ASOF_LEFT_SQL, _ASOF_RIGHT_SQL, on=["user_id"],
+            left_ts="ts", right_ts="ts", payload=["event_id", "value"],
+            tie_col="event_id",
+            left_cols=["event_id", "user_id", "ts", "value"]),
+        "time_range_join_events": temporal.duckdb_time_range_sql(
+            "select event_id, user_id, ts from events"
+            " where event_type = 'purchase'",
+            "select user_id, ts, event_id from events"
+            " where event_type = 'click'",
+            on=["user_id"], left_ts="ts", right_ts="ts",
+            window_sec=_ASOF_WINDOW_SEC, right_cols=["event_id"],
+            left_cols=["event_id", "user_id", "ts"]),
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint
