@@ -55,3 +55,14 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSONL sink (the interchange format LLM-data pipelines exchange);
+    gzip by default — line-oriented JSON compresses ~10x and stays
+    per-file parallel on read."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -1,0 +1,103 @@
+"""WARC source round-trips: exact Content-Length parsing (adversarial
+payloads), gzip-member concatenation, pages adaptation into the filter."""
+
+import gzip
+
+import pytest
+
+from data_quality_autohealer_spark.sources.warc import (
+    parse_warc_bytes, read_warc, warc_to_pages, write_warc_file,
+)
+
+_HTML = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+         b"<html><head><style>p{color:red}</style>"
+         b"<script>var x = '<p>not text</p>';</script></head>"
+         b"<body><h1>Hello &amp; welcome</h1><p>plain  text</p></body></html>")
+
+# payload containing the record delimiter AND blank lines: a naive
+# split-on-"WARC/1.0" reader corrupts this; Content-Length parsing must not
+_EVIL = (b"HTTP/1.1 200 OK\r\n\r\n"
+         b"quoting a warc: WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+         b"Content-Length: 999\r\n\r\n trailing")
+
+
+def _recs():
+    return [
+        {"warc_type": "warcinfo", "url": "", "warc_date":
+         "2024-01-01T00:00:00Z", "record_id": "<urn:uuid:0>",
+         "content_type": "application/warc-fields",
+         "payload": b"software: test\r\n"},
+        {"warc_type": "response", "url": "http://a.example/1",
+         "warc_date": "2024-01-01T00:00:01Z", "record_id": "<urn:uuid:1>",
+         "content_type": "application/http; msgtype=response",
+         "payload": _HTML},
+        {"warc_type": "response", "url": "http://a.example/2",
+         "warc_date": "2024-01-01T00:00:02Z", "record_id": "<urn:uuid:2>",
+         "content_type": "application/http; msgtype=response",
+         "payload": _EVIL},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_exact(tmp_path, gz):
+    path = str(tmp_path / ("seg.warc.gz" if gz else "seg.warc"))
+    assert write_warc_file(_recs(), path, gzip_per_record=gz) == 3
+    raw = open(path, "rb").read()
+    if gz:
+        # multi-member decompress handled inside the reader; do it by hand
+        out, g = b"", gzip.GzipFile
+        import io
+        f = g(fileobj=io.BytesIO(raw))
+        out = f.read()
+        raw = out
+    got = list(parse_warc_bytes(raw, "seg"))
+    assert [r["warc_type"] for r in got] == ["warcinfo", "response",
+                                             "response"]
+    # byte-exact payloads, including the adversarial one
+    assert got[2]["payload"] == _EVIL
+    assert got[1]["url"] == "http://a.example/1"
+
+
+def test_truncated_record_fails_loudly(tmp_path):
+    path = str(tmp_path / "bad.warc")
+    write_warc_file(_recs()[:1], path)
+    raw = open(path, "rb").read()[:-10]
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_bytes(raw, "bad"))
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for i in range(3):
+        write_warc_file(_recs(), str(d / f"seg{i}.warc.gz"),
+                        gzip_per_record=True)
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    # warcinfo filtered out by default; 2 responses x 3 segments
+    assert len(rows) == 6
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert len({r["src_file"] for r in rows}) == 3  # per-file rows tagged
+    evil = [r for r in rows if r["url"].endswith("/2")][0]
+    assert bytes(evil["payload"]) == _EVIL
+
+
+def test_warc_to_pages_feeds_filter(spark, tmp_path):
+    from data_quality_autohealer_spark.plans.pipeline import score_pages
+    from data_quality_autohealer_spark.synth import PAGES_SCHEMA_DDL
+
+    path = str(tmp_path / "seg.warc")
+    write_warc_file([r for r in _recs() if r["warc_type"] == "response"],
+                    path)
+    pages = warc_to_pages(read_warc(spark, path))
+    want = spark.createDataFrame([], PAGES_SCHEMA_DDL).schema
+    assert [(f.name, f.dataType) for f in pages.schema] == [
+        (f.name, f.dataType) for f in want]  # lit('und') is non-nullable
+    rows = {r["url"]: r for r in pages.collect()}
+    # header block, tags, script/style bodies gone; entities decoded;
+    # whitespace collapsed
+    assert rows["http://a.example/1"]["text"] == "Hello & welcome plain text"
+    assert rows["http://a.example/1"]["warc_ts"] is not None
+    # the full scoring pipeline runs over WARC-derived pages unchanged
+    scored = score_pages(pages)
+    assert scored.count() == 2 and "keep" in scored.columns
