@@ -327,6 +327,130 @@ def _q_session_windows(spark, sf_dir):
     return sessions.sessionize(ev, gap="4 hours")
 
 
+def _q_lexical_diversity(spark, sf_dir):
+    # per-doc lexical-diversity profile (type-token ratio + longest word)
+    # over the canonical ASCII-whitespace tokenizer shared with the quality
+    # signals; _w/_wc staged as columns (multi-referenced) so Catalyst
+    # cannot inline the split per reference (CLAUDE.md lambda gotcha)
+    clean = th._spark_clean("text")
+    df = (_docs(spark, sf_dir)
+          .withColumn("_w", F.expr(th._spark_words("text")))
+          .withColumn("_wc", F.expr(
+              f"case when {clean} = '' then 0 else size(_w) end"))
+          .withColumn("_dw", F.expr("size(array_distinct(_w))")))
+    return df.selectExpr(
+        "doc_id",
+        "cast(_wc as bigint) as n_words",
+        "cast(case when _wc = 0 then 0 else _dw end as bigint)"
+        " as n_distinct_words",
+        "round(case when _wc = 0 then cast(0.0 as double)"
+        " else cast(_dw as double) / _wc end, 6) as ttr",
+        "cast(case when _wc = 0 then 0"
+        " else array_max(transform(_w, w -> length(w))) end as bigint)"
+        " as max_word_len",
+    )
+
+
+def _oracle_lexical_diversity() -> str:
+    return f"""
+        with w as (
+            select doc_id, {th._duck_words('text')} as _w,
+                   {th._duck_clean('text')} = '' as _e
+            from documents
+        ), c as (
+            select doc_id, _w,
+                   case when _e then 0 else len(_w) end as _wc,
+                   len(list_distinct(_w)) as _dw
+            from w
+        )
+        select doc_id,
+               cast(_wc as bigint) as n_words,
+               cast(case when _wc = 0 then 0 else _dw end as bigint)
+                   as n_distinct_words,
+               round(case when _wc = 0 then cast(0.0 as double)
+                     else cast(_dw as double) / _wc end, 6) as ttr,
+               cast(case when _wc = 0 then 0
+                    else list_max(list_transform(_w, w -> len(w))) end
+                    as bigint) as max_word_len
+        from c
+    """
+
+
+_DOMAIN_WC_KEEP = 54.0
+
+
+def _q_domain_quality(spark, sf_dir):
+    # domain-level curation (the RefinedWeb move): aggregate per-source
+    # quality signals, then a data-driven keep decision over the ROUNDED
+    # aggregate (identical rounding in the twin, so the boolean cannot
+    # flip on a last-ulp accumulation difference)
+    df = th.with_quality_signals(_docs(spark, sf_dir))
+    return (df.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.round(F.avg("word_count"), 6).alias("avg_word_count"),
+                 F.round(F.avg("symbol_ratio"), 6).alias("avg_symbol_ratio"),
+                 F.round(F.avg("alpha_word_frac"), 6).alias("avg_alpha_frac"))
+            .withColumn(
+                "source_keep",
+                F.col("avg_word_count") >= F.expr(
+                    f"cast({_DOMAIN_WC_KEEP} as double)")))
+
+
+def _oracle_domain_quality() -> str:
+    sigs = th.duckdb_signal_sql("text")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in sigs.items())
+    return f"""
+        with sig as (select source, {cols} from documents),
+        agg as (
+            select source, cast(count(*) as bigint) as n_docs,
+                   round(avg(word_count), 6) as avg_word_count,
+                   round(avg(symbol_ratio), 6) as avg_symbol_ratio,
+                   round(avg(alpha_word_frac), 6) as avg_alpha_frac
+            from sig group by source
+        )
+        select *, avg_word_count >= cast({_DOMAIN_WC_KEEP} as double)
+                   as source_keep
+        from agg
+    """
+
+
+def _q_snapshot_delta(spark, sf_dir):
+    # re-crawl snapshot diff: full outer join of two crawl states ->
+    # added / removed / changed / same per doc. Snapshots are derived
+    # DETERMINISTICALLY from documents (old drops doc_id%10==0, new drops
+    # %13==0 and rewrites %7==0) so the DuckDB twin builds identical input.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.where("doc_id % 10 != 0").alias("o")
+    new = (docs.where("doc_id % 13 != 0")
+           .selectExpr("doc_id",
+                       "case when doc_id % 7 = 0 then text || ' [updated]'"
+                       " else text end as text")
+           .alias("n"))
+    j = old.join(new, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce("o.doc_id", "n.doc_id").alias("doc_id"),
+        F.expr("case when o.doc_id is null then 'added'"
+               " when n.doc_id is null then 'removed'"
+               " when o.text <=> n.text then 'same'"
+               " else 'changed' end").alias("status"))
+
+
+_ORACLE_SNAPSHOT_DELTA = """
+    with base as (select doc_id, text from documents),
+    s_old as (select * from base where doc_id % 10 != 0),
+    s_new as (select doc_id,
+                     case when doc_id % 7 = 0 then text || ' [updated]'
+                     else text end as text
+              from base where doc_id % 13 != 0)
+    select coalesce(o.doc_id, n.doc_id) as doc_id,
+           case when o.doc_id is null then 'added'
+                when n.doc_id is null then 'removed'
+                when o.text is not distinct from n.text then 'same'
+                else 'changed' end as status
+    from s_old o full outer join s_new n on o.doc_id = n.doc_id
+"""
+
+
 _ASOF_WINDOW_SEC = 1800
 _ASOF_LEFT_SQL = ("select event_id, user_id, ts, value from events"
                   " where event_type = 'purchase'")
@@ -871,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "asof_join_events": _q_asof_join_events,
         "time_range_join_events": _q_time_range_join_events,
+        "lexical_diversity": _q_lexical_diversity,
+        "domain_quality": _q_domain_quality,
+        "snapshot_delta": _q_snapshot_delta,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
@@ -1182,6 +1309,9 @@ def oracle_sql() -> dict[str, str]:
             on=["user_id"], left_ts="ts", right_ts="ts",
             window_sec=_ASOF_WINDOW_SEC, right_cols=["event_id"],
             left_cols=["event_id", "user_id", "ts"]),
+        "lexical_diversity": _oracle_lexical_diversity(),
+        "domain_quality": _oracle_domain_quality(),
+        "snapshot_delta": _ORACLE_SNAPSHOT_DELTA,
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint

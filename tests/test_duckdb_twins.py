@@ -19,6 +19,8 @@ SUBSET = [
     "quality_signals", "quality_decision", "quality_drop_summary",
     "langid_stopword_heuristic", "exact_dedup_groups", "minhash_signatures",
     "simhash", "pii_scrub", "knn_cosine_topk", "token_count_bpe",
+    "asof_join_events", "time_range_join_events", "lexical_diversity",
+    "domain_quality", "snapshot_delta",
 ]
 
 
