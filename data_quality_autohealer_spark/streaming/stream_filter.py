@@ -102,6 +102,24 @@ def kept_writer(scored: DataFrame, out_path: str, checkpoint: str):
             .outputMode("append"))
 
 
+def stream_dedup_pages(pages: DataFrame, watermark: str = "1 hour",
+                       fingerprint_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: first page per content fingerprint wins;
+    re-arrivals within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keys state by the md5 fingerprint and
+    EVICTS entries older than the watermark, so state size tracks the
+    horizon's unique-content rate, not the full corpus — the property that
+    makes this safe on an unbounded 100 TB crawl stream (the batch
+    ``exact_dedup`` twin dedups globally; the stream dedups within the
+    horizon by design, which is the right call for re-crawl suppression).
+    """
+    fp = pages.withColumn("fp", F.md5(F.col(fingerprint_col)))
+    return (fp.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"])
+            .drop("fp"))
+
+
 def stateful_host_quality(scored: DataFrame, watermark: str = "10 minutes",
                           timeout_ms: int = 600_000) -> DataFrame:
     """CUSTOM stateful operator via ``applyInPandasWithState``: per-host

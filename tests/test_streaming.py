@@ -204,3 +204,35 @@ def test_kafka_wire_decode_feeds_scorer_in_streaming(spark, tmp_path):
     batch = {r["url"]: r["keep"] for r in
              score_pages(pages).select("url", "keep").collect()}
     assert {r["url"]: r["keep"] for r in out} == batch
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in LATER micro-batches
+    (maxFilesPerTrigger=1, duplicate copy written as a second file) are
+    dropped by fingerprint state; kept set == batch distinct-by-md5(text)."""
+    src = str(tmp_path / "dd_src")
+    base = synth.gen_pages_df(spark, 60, num_partitions=1).cache()
+    base.write.parquet(src)  # file 1: originals
+    # file 2: same texts, different urls -> pure content duplicates
+    dup = base.withColumn("url", F.concat(F.lit("http://mirror.example/"),
+                                          F.col("url")))
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_filter.stream_pages_from_files(spark, src,
+                                                   max_files_per_trigger=1)
+    # long watermark => no eviction within the test => global dedup
+    deduped = stream_filter.stream_dedup_pages(stream, watermark="30 days")
+    q = (deduped.writeStream.format("memory").queryName("dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = spark.table("dd")
+    n_unique = (spark.read.parquet(src)
+                .select(F.md5("text").alias("fp")).distinct().count())
+    assert got.count() == n_unique == 60
+    # schema passes through unchanged (fp helper column dropped)
+    assert got.columns == base.columns
+    base.unpersist()
