@@ -41,8 +41,12 @@ def model_rule_conditions(
     """Reason-code -> fired-condition over scoring-UDF output columns."""
     c = F.col
     return {
+        # no mismatch when either side is 'und': the model abstaining, or
+        # the claim being absent (WARC ingest stamps 'und' — the predicted
+        # language is adopted downstream, not judged against the stamp)
         "langid": (c("lang_pred") != c(claimed_lang_col))
         & (c("lang_pred") != F.lit("und"))
+        & (c(claimed_lang_col) != F.lit("und"))
         & (c("lang_conf") >= mt.min_lang_conf),
         "perplexity": c("log_pplx") > mt.max_log_pplx,
         "toxicity": c("n_tox") > mt.max_tox,

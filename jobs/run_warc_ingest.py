@@ -1,0 +1,90 @@
+"""WARC-ingest CLI: crawl segments -> pages table, the front edge of the
+pipeline (then ``jobs/run_filter.py`` scores the same warehouse).
+
+Cluster usage:
+  spark-submit --py-files dist/dqa_spark.zip jobs/run_warc_ingest.py \
+      --warc '/crawl/segments/*.warc.gz' --warehouse /wh
+
+Parallelism unit is the segment FILE (gzip'd WARC is not byte-splittable);
+thousands of ~1 GB segments saturate a cluster — see sources/warc.py.
+
+``--synth-segments N`` writes N deterministic .warc.gz segments (from the
+synthetic pages corpus, HTML wrapped in an HTTP/1.1 response) before
+ingesting them — the sandbox stand-in for a real crawl directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_segments(spark, out_dir: str, segments: int,
+                   docs_per_segment: int) -> int:
+    """Deterministic crawl directory: pages -> HTTP-wrapped WARC records,
+    one .warc.gz per segment (driver-side writer; test/sandbox scale)."""
+    from data_quality_autohealer_spark import synth
+    from data_quality_autohealer_spark.sources.warc import write_warc_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = segments * docs_per_segment
+    rows = (synth.gen_pages_df(spark, n, num_partitions=segments)
+            .select("url", "warc_ts", "html").collect())
+    total = 0
+    for s in range(segments):
+        recs = []
+        for r in rows[s * docs_per_segment:(s + 1) * docs_per_segment]:
+            html = bytes(r["html"])
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                       b"Content-Length: %d\r\n\r\n" % len(html)) + html
+            recs.append({
+                "warc_type": "response",
+                "url": r["url"],
+                "warc_date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "record_id": f"<urn:uuid:{s}-{len(recs)}>",
+                "content_type": "application/http; msgtype=response",
+                "payload": payload,
+            })
+        total += write_warc_file(recs, os.path.join(
+            out_dir, f"seg{s:05d}.warc.gz"), gzip_per_record=True)
+    return total
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--warc", required=True,
+                   help="path/glob of .warc / .warc.gz segments")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--pages-table", default="pages")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--synth-segments", type=int, default=0)
+    p.add_argument("--docs-per-segment", type=int, default=500)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from data_quality_autohealer_spark.session import get_spark
+    from data_quality_autohealer_spark.sources.warc import (
+        read_warc, warc_to_pages,
+    )
+    from data_quality_autohealer_spark.warehouse import Warehouse
+
+    spark = get_spark(app_name="dqa-warc-ingest", master=args.master)
+    summary = {"warc": args.warc}
+    if args.synth_segments:
+        summary["synth_records"] = synth_segments(
+            spark, args.warc, args.synth_segments, args.docs_per_segment)
+
+    pages = warc_to_pages(read_warc(spark, args.warc))
+    wh = Warehouse(spark, args.warehouse, num_buckets=args.num_buckets)
+    wh.write_pages(pages, args.pages_table)
+    summary["pages_written"] = wh.read_pages(args.pages_table).count()
+    return summary
+
+
+if __name__ == "__main__":
+    json.dump(main(), sys.stdout)
+    print()

@@ -101,3 +101,24 @@ def test_warc_to_pages_feeds_filter(spark, tmp_path):
     # the full scoring pipeline runs over WARC-derived pages unchanged
     scored = score_pages(pages)
     assert scored.count() == 2 and "keep" in scored.columns
+
+
+def test_warc_ingest_cli_end_to_end(spark, tmp_path):
+    """Crawl directory -> run_warc_ingest -> warehouse pages table -> the
+    standard scorer; the full front edge of the pipeline in one pass."""
+    import jobs.run_warc_ingest as ingest
+    from data_quality_autohealer_spark.plans.pipeline import score_pages
+    from data_quality_autohealer_spark.warehouse import Warehouse
+
+    crawl = str(tmp_path / "crawl")
+    wh_dir = str(tmp_path / "wh")
+    summary = ingest.main([
+        "--warc", crawl, "--warehouse", wh_dir, "--num-buckets", "4",
+        "--synth-segments", "3", "--docs-per-segment", "40",
+    ])
+    assert summary["synth_records"] == 120
+    assert summary["pages_written"] == 120
+    wh = Warehouse(spark, wh_dir, num_buckets=4)
+    scored = score_pages(wh.read_pages())
+    kept = scored.where("keep").count()
+    assert 0 < kept <= 120  # extracted text flows through the real filter
