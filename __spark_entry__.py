@@ -414,6 +414,20 @@ def _oracle_domain_quality() -> str:
     """
 
 
+def _q_cross_corpus_neardup(spark, sf_dir):
+    # decontaminate a new crawl against the accumulated corpus: LSH band
+    # join BETWEEN corpora (never a self-join of the union) + Jaccard
+    # verify. Corpora derived deterministically: ref = doc_id%3==0 (the
+    # "already trained on" set), new = the rest.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.cross_corpus_neardup(
+        docs.where("doc_id % 3 != 0"), docs.where("doc_id % 3 = 0"),
+        threshold=_CROSS_NEARDUP_THRESHOLD)
+
+
+_CROSS_NEARDUP_THRESHOLD = 0.5
+
+
 def _q_snapshot_delta(spark, sf_dir):
     # re-crawl snapshot diff: full outer join of two crawl states ->
     # added / removed / changed / same per doc. Snapshots are derived
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": _q_lexical_diversity,
         "domain_quality": _q_domain_quality,
         "snapshot_delta": _q_snapshot_delta,
+        "cross_corpus_neardup": _q_cross_corpus_neardup,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
@@ -1312,6 +1327,10 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": _oracle_lexical_diversity(),
         "domain_quality": _oracle_domain_quality(),
         "snapshot_delta": _ORACLE_SNAPSHOT_DELTA,
+        "cross_corpus_neardup": dedup.duckdb_cross_neardup_sql(
+            "select doc_id, text from documents where doc_id % 3 != 0",
+            "select doc_id, text from documents where doc_id % 3 = 0",
+            threshold=_CROSS_NEARDUP_THRESHOLD),
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint

@@ -178,6 +178,34 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = 8,
 DEFAULT_MAX_BUCKET = 1000
 
 
+def _stacked_buckets(df: DataFrame, text_col: str, id_col: str, k: int,
+                     rows_per_band: int, shingle_n: int,
+                     max_bucket_size: int | None) -> DataFrame:
+    """(id, band-bucket) rows: signatures → band keys → exploded stack,
+    with buckets above ``max_bucket_size`` dropped via a window count over
+    the same bucket key any downstream join shuffles on (exchange reused).
+    Sig columns stay staged (with_minhash runs the md5 pass once per doc).
+    """
+    from pyspark.sql.window import Window
+
+    sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
+    n_bands = k // rows_per_band
+    banded = sig.selectExpr(id_col, *band_exprs(k, rows_per_band, "spark"))
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(n_bands)
+        ])).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        stacked = (stacked
+                   .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                   .where(F.col("_bsz") <= max_bucket_size)
+                   .drop("_bsz"))
+    return stacked
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       rows_per_band: int = 2, shingle_n: int = 3,
@@ -195,25 +223,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     shuffles on, so the exchange is reused (one shuffle, not two).
     ``max_bucket_size=None`` disables the cap (oracle/testing only).
     """
-    from pyspark.sql.window import Window
-
-    # keep sig columns staged (referenced by the band exprs) — with_minhash
-    # already stages the expensive md5 pass once per document
-    sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
-    n_bands = k // rows_per_band
-    banded = sig.selectExpr(id_col, *band_exprs(k, rows_per_band, "spark"))
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(n_bands)
-        ])).alias("bucket"),
-    )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("bucket")
-        stacked = (stacked
-                   .withColumn("_bsz", F.count(F.lit(1)).over(w))
-                   .where(F.col("_bsz") <= max_bucket_size)
-                   .drop("_bsz"))
+    stacked = _stacked_buckets(df, text_col, id_col, k, rows_per_band,
+                               shingle_n, max_bucket_size)
     a = stacked.alias("a")
     b = stacked.alias("b")
     pairs = (
@@ -289,6 +300,103 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
                   / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6)
     return (sized.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def cross_corpus_neardup(new_df: DataFrame, ref_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8, rows_per_band: int = 2,
+                         shingle_n: int = 3, jaccard_n: int = 3,
+                         threshold: float = 0.5,
+                         max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                         ) -> DataFrame:
+    """Near-dups of NEW docs against a PRIOR corpus (decontaminating a new
+    crawl against data already in the training set): LSH band equi-join
+    BETWEEN the two corpora — never a self-join of their union, so cost
+    tracks shared buckets, and the new crawl (typically ≪ the accumulated
+    corpus) drives the join's small side — then hashed-shingle Jaccard
+    verify. Returns (new_id, ref_id, jaccard) pairs at/above threshold.
+
+    Bucket cap applies to the REFERENCE side (a mega-bucket there is
+    boilerplate the prior corpus should have exact-deduped) and to the new
+    side symmetrically, matching the DuckDB twin exactly.
+    """
+    sn = _stacked_buckets(new_df, text_col, id_col, k, rows_per_band,
+                          shingle_n, max_bucket_size).alias("n")
+    sr = _stacked_buckets(ref_df, text_col, id_col, k, rows_per_band,
+                          shingle_n, max_bucket_size).alias("r")
+    cand = (sn.join(sr, F.col("n.bucket") == F.col("r.bucket"))
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"r.{id_col}").alias("ref_id"))
+            .distinct())
+
+    def _ngrams(df, out_id):
+        return (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+                .selectExpr(
+                    f"{id_col} as {out_id}",
+                    f"{_hashed_ngrams(text_col, jaccard_n, 'spark', words_col='_w')}"
+                    f" as _ng_{out_id}"))
+
+    sized = (cand.join(_ngrams(new_df, "new_id"), "new_id")
+             .join(_ngrams(ref_df, "ref_id"), "ref_id")
+             .select("new_id", "ref_id",
+                     F.size(F.array_intersect("_ng_new_id", "_ng_ref_id"))
+                     .alias("_i"),
+                     F.size("_ng_new_id").alias("_sa"),
+                     F.size("_ng_ref_id").alias("_sb")))
+    jac = F.round(F.col("_i")
+                  / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6)
+    return (sized.select("new_id", "ref_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def duckdb_cross_neardup_sql(new_sql: str, ref_sql: str,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             k: int = 8, rows_per_band: int = 2,
+                             shingle_n: int = 3, jaccard_n: int = 3,
+                             threshold: float = 0.5,
+                             max_bucket_size: int = DEFAULT_MAX_BUCKET
+                             ) -> str:
+    """DuckDB twin of :func:`cross_corpus_neardup` — same signatures, band
+    keys, per-side bucket caps, hashed-shingle Jaccard."""
+    sig_cols = ", ".join(minhash_sig_exprs(text_col, k, shingle_n, "duck"))
+    n_bands = k // rows_per_band
+    band_cols = ", ".join(band_exprs(k, rows_per_band, "duck"))
+    ng = _hashed_ngrams(text_col, jaccard_n, "duck")
+    jac = ("round(len(list_intersect(a.ngrams, b.ngrams))::double"
+           " / (len(a.ngrams) + len(b.ngrams)"
+           " - len(list_intersect(a.ngrams, b.ngrams))), 6)")
+
+    def side(tag, src):
+        stacked = " union all ".join(
+            f"select {id_col}, '{b}:' || band_{b} as bucket from banded_{tag}"
+            for b in range(n_bands))
+        return f"""
+        src_{tag} as ({src}),
+        sig_{tag} as (select {id_col}, {sig_cols} from src_{tag}),
+        banded_{tag} as (select {id_col}, {band_cols} from sig_{tag}),
+        stacked_{tag} as ({stacked}),
+        capped_{tag} as (
+            select * from (
+                select {id_col}, bucket,
+                       count(*) over (partition by bucket) as bsz
+                from stacked_{tag}
+            ) where bsz <= {max_bucket_size}
+        )"""
+
+    return f"""
+        with {side('n', new_sql)}, {side('r', ref_sql)},
+        cand as (
+            select distinct n.{id_col} as new_id, r.{id_col} as ref_id
+            from capped_n n join capped_r r on n.bucket = r.bucket
+        ),
+        ngr_n as (select {id_col}, {ng} as ngrams from src_n),
+        ngr_r as (select {id_col}, {ng} as ngrams from src_r)
+        select c.new_id, c.ref_id, {jac} as jaccard
+        from cand c
+        join ngr_n a on a.{id_col} = c.new_id
+        join ngr_r b on b.{id_col} = c.ref_id
+        where {jac} >= {threshold}
+    """
 
 
 class ComponentsNotConverged(RuntimeError):

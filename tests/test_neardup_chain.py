@@ -150,3 +150,38 @@ def test_components_reliable_checkpoint_dir(spark, tmp_path):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     import os
     assert os.listdir(ckpt), "reliable checkpoint wrote nothing"
+
+
+def test_cross_corpus_neardup_planted_pairs(spark):
+    """New-crawl docs near-duplicating the prior corpus are flagged with
+    their ref twin; genuinely novel docs are not."""
+    ref = spark.createDataFrame([
+        (1, "the cat sat on the mat and looked at the dog while it rained"),
+        (2, "completely different text about spark query engines at scale"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        # near-dup of ref 1 (one word changed)
+        (10, "the cat sat on the mat and stared at the dog while it rained"),
+        # exact dup of ref 2
+        (11, "completely different text about spark query engines at scale"),
+        # novel
+        (12, "ein gänzlich anderes dokument über verteilte datenverarbeitung"
+             " und parkettdateien im rechenzentrum"),
+    ], "doc_id long, text string")
+    got = {(r["new_id"], r["ref_id"]): r["jaccard"]
+           for r in dedup.cross_corpus_neardup(new, ref,
+                                               threshold=0.5).collect()}
+    assert (11, 2) in got and got[(11, 2)] == 1.0
+    assert (10, 1) in got and 0.5 <= got[(10, 1)] < 1.0
+    assert not any(n == 12 for n, _ in got)
+
+
+def test_cross_corpus_never_self_joins_union(spark):
+    """Pairs WITHIN one corpus must not appear — only new x ref."""
+    dup_text = "identical boilerplate text repeated across the new crawl"
+    new = spark.createDataFrame(
+        [(i, dup_text) for i in range(5)], "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100, "some unrelated reference document about something else")],
+        "doc_id long, text string")
+    assert dedup.cross_corpus_neardup(new, ref, threshold=0.5).count() == 0
