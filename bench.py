@@ -45,6 +45,10 @@ HEADLINE = [
     "neardup_groups",
     "salted_event_stats",
     "session_windows",
+    "asof_join_events",
+    "time_range_join_events",
+    "cross_corpus_neardup",
+    "domain_quality",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
