@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
-    contamination, curation, dedup, profiler, sessions, similarity, skew,
-    temporal,
+    clustering, contamination, curation, dedup, profiler, sessions,
+    similarity, skew, temporal,
 )
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
@@ -412,6 +412,17 @@ def _oracle_domain_quality() -> str:
                    as source_keep
         from agg
     """
+
+
+_KMEANS_K, _KMEANS_ITERS = 8, 2
+
+
+def _q_kmeans_embeddings(spark, sf_dir):
+    # SemDeDup-style semantic clustering: deterministic fixed-iteration
+    # Lloyd k-means (smallest-id init, 6dp-rounded centroids, sequential-
+    # fold distances) — oracle-checkable unlike MLlib KMeans
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return clustering.kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
 def _q_cross_corpus_neardup(spark, sf_dir):
@@ -1013,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _q_domain_quality,
         "snapshot_delta": _q_snapshot_delta,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
@@ -1331,6 +1343,8 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, text from documents where doc_id % 3 != 0",
             "select doc_id, text from documents where doc_id % 3 = 0",
             threshold=_CROSS_NEARDUP_THRESHOLD),
+        "kmeans_embeddings": clustering.duckdb_kmeans_sql(
+            k=_KMEANS_K, iters=_KMEANS_ITERS),
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint

@@ -1,0 +1,140 @@
+"""Deterministic fixed-iteration k-means over embedding columns — the
+clustering step of SemDeDup-style semantic dedup and training-mixture
+balancing (cluster, then sample/dedup within clusters).
+
+No reference analogue (the reference's only unsupervised step is
+IsolationForest outlier detection, outlier_detection.py); this is the
+web-scale addition the task brief's similarity-search family implies.
+
+Determinism contract (what makes this ORACLE-CHECKABLE, unlike MLlib's
+KMeans): init = the k embeddings with the smallest ids; a FIXED number of
+Lloyd iterations; squared-L2 distances via the repo's sequential-fold
+convention (aggregate/zip_with ≡ DuckDB list_reduce — bitwise-identical
+inputs); centroids ROUNDED to 6dp after every update in both engines, so
+engine-specific double-accumulation order in the per-dim means cannot
+drift (a flip needs a true mean within ~1e-15 of a 0.5e-6 boundary);
+argmin ties break to the lowest cluster index.
+
+Scale shape: per iteration, ONE narrow map (k×dim literal arithmetic per
+row — centroids ride inside the expression, the plan-level equivalent of
+a broadcast) + ONE groupBy(cluster) aggregate whose result is k×(dim+1)
+values — the same bounded driver fence as the IVF partials
+(similarity.py). No shuffle of the embedding column beyond the k-row agg.
+At extreme dim×k, swap the interpreted fold for the pandas-UDF GEMM path
+(similarity.py) — assignments are identical, only the oracle twin is lost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class KMeansEmptyCluster(RuntimeError):
+    """A cluster lost all members mid-iteration: the result would need an
+    engine-specific repair rule, so fail loudly instead (choose a smaller k
+    or different init ids)."""
+
+
+def _centroid_sql_literal(c: list[float], engine: str) -> str:
+    """Float64 list literal via repr (exact round-trip) + string→double
+    cast (correctly rounded, identical in both engines; bare decimal
+    literals would parse as DECIMAL in Spark)."""
+    if engine == "spark":
+        return "array(" + ", ".join(f"cast('{x!r}' as double)" for x in c) + ")"
+    return "[" + ", ".join(f"'{x!r}'::double" for x in c) + "]"
+
+
+def _dist_sql(v: str, cent: str, dim: int, engine: str) -> str:
+    """Sequential-fold squared-L2 distance (knn_cosine fold convention)."""
+    if engine == "spark":
+        return (f"aggregate(zip_with({v}, {cent}, (x, y) -> (x - y) * (x - y)), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)")
+    return (f"list_reduce(list_prepend(0.0::double, "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> (({v})[i] - ({cent})[i]) * (({v})[i] - ({cent})[i]))), "
+            f"(acc, x) -> acc + x)")
+
+
+def _assign(pts: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Attach the argmin-distance ``cluster`` column; ties break to the
+    lowest cluster index. Distances staged as columns (multi-referenced by
+    least() and the case chain) so each fold runs once per row."""
+    k, dim = len(cents), len(cents[0])
+    d = {f"_d{j}": F.expr(_dist_sql(
+            "_v", _centroid_sql_literal(c, "spark"), dim, "spark"))
+         for j, c in enumerate(cents)}
+    df = pts.withColumns(d)
+    m = F.least(*[F.col(f"_d{j}") for j in range(k)])
+    cl = F.when(F.col("_d0") == m, 0)
+    for j in range(1, k):
+        cl = cl.when(F.col(f"_d{j}") == m, j)
+    return df.withColumn("cluster", cl.cast("int")).drop(*d.keys())
+
+
+def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, cluster) after ``iters`` Lloyd iterations from the
+    smallest-id init. See module docstring for the determinism contract."""
+    pts = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"))
+    init = pts.orderBy(id_col).limit(k).collect()
+    cents = [list(r["_v"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = _assign(pts, cents)
+        rows = (assigned.groupBy("cluster")
+                .agg(*[F.round(F.avg(F.col("_v")[i]), 6).alias(f"m{i}")
+                       for i in range(dim)])
+                .collect())  # bounded fence: k rows x dim doubles
+        if len(rows) < k:
+            raise KMeansEmptyCluster(f"{k - len(rows)} empty cluster(s)")
+        by_cluster = {r["cluster"]: [r[f"m{i}"] for i in range(dim)]
+                      for r in rows}
+        cents = [by_cluster[j] for j in range(k)]
+    return _assign(pts, cents).select(id_col, "cluster")
+
+
+def duckdb_kmeans_sql(table: str = "embeddings", k: int = 8,
+                      iters: int = 2, dim: int = 64,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """Chained-CTE twin: cent0 = smallest-id embeddings; per iteration an
+    assignment CTE (row_number over (dist, cluster)) and a rounded per-dim
+    mean CTE; final assignment against the last centroids."""
+    dist = _dist_sql("p.v", "c.c", dim, "duck")
+
+    def assign_cte(name, cent):
+        return f"""
+        {name} as (
+            select vec_id, v, cluster from (
+                select p.{id_col} as vec_id, p.v, c.cluster,
+                       row_number() over (
+                           partition by p.{id_col}
+                           order by {dist} asc, c.cluster asc) as rn
+                from pts p cross join {cent} c
+            ) where rn = 1
+        )"""
+
+    means = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(dim))
+    ctes = [f"""
+        pts as (select {id_col}, list_transform({vec_col}, x -> x::double)
+                           as v
+                from {table}),
+        cent0 as (
+            select row_number() over (order by {id_col}) - 1 as cluster, v as c
+            from (select {id_col}, v from pts order by {id_col} limit {k})
+        )"""]
+    for t in range(iters):
+        ctes.append(assign_cte(f"a{t}", f"cent{t}"))
+        ctes.append(f"""
+        cent{t + 1} as (
+            select cluster, [{means}] as c
+            from a{t} group by cluster
+        )""")
+    ctes.append(assign_cte("afinal", f"cent{iters}"))
+    return (f"with {', '.join(ctes)} "
+            f"select vec_id as {id_col}, cast(cluster as int) as cluster "
+            f"from afinal")

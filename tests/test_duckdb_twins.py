@@ -20,7 +20,8 @@ SUBSET = [
     "langid_stopword_heuristic", "exact_dedup_groups", "minhash_signatures",
     "simhash", "pii_scrub", "knn_cosine_topk", "token_count_bpe",
     "asof_join_events", "time_range_join_events", "lexical_diversity",
-    "domain_quality", "snapshot_delta",
+    "domain_quality", "snapshot_delta", "cross_corpus_neardup",
+    "kmeans_embeddings",
 ]
 
 
