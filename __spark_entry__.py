@@ -425,6 +425,44 @@ def _q_kmeans_embeddings(spark, sf_dir):
     return clustering.kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
+def _q_semantic_neardup(spark, sf_dir):
+    # the full SemDeDup chain: deterministic k-means clusters as the
+    # blocking key (replacing the oracle-only label blocks), then exact
+    # within-cluster cosine pairs. At 100 TB the cluster count scales with
+    # the corpus so block sizes stay bounded; the GEMM path
+    # (similarity.embedding_near_dup_pairs_fast) drops in for the verify.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clusters = clustering.kmeans_assign(emb, k=_KMEANS_K,
+                                        iters=_KMEANS_ITERS)
+    e = (emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+         .join(clusters, "vec_id"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+           "cast(0.0 as double), (acc, x) -> acc + x)")
+    nrm = ("sqrt(aggregate(transform({s}.v, x -> x * x), "
+           "cast(0.0 as double), (acc, x) -> acc + x))")
+    cos = f"round(({dot}) / ({nrm.format(s='a')} * {nrm.format(s='b')}), 6)"
+    return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.expr(cos).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= _NEARDUP_COS))
+
+
+def _oracle_semantic_neardup() -> str:
+    ctes = clustering.duckdb_kmeans_ctes(k=_KMEANS_K, iters=_KMEANS_ITERS)
+    return f"""
+        with {ctes}
+        select a.vec_id as id_a, b.vec_id as id_b, {_EMB_COS} as cosine_sim
+        from afinal a join afinal b
+          on a.cluster = b.cluster and a.vec_id < b.vec_id
+        where {_EMB_COS} >= {_NEARDUP_COS}
+    """
+
+
 def _q_cross_corpus_neardup(spark, sf_dir):
     # decontaminate a new crawl against the accumulated corpus: LSH band
     # join BETWEEN corpora (never a self-join of the union) + Jaccard
@@ -1025,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_neardup": _q_semantic_neardup,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
@@ -1345,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=_CROSS_NEARDUP_THRESHOLD),
         "kmeans_embeddings": clustering.duckdb_kmeans_sql(
             k=_KMEANS_K, iters=_KMEANS_ITERS),
+        "semantic_neardup": _oracle_semantic_neardup(),
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint

@@ -97,13 +97,13 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     return _assign(pts, cents).select(id_col, "cluster")
 
 
-def duckdb_kmeans_sql(table: str = "embeddings", k: int = 8,
-                      iters: int = 2, dim: int = 64,
-                      vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> str:
-    """Chained-CTE twin: cent0 = smallest-id embeddings; per iteration an
-    assignment CTE (row_number over (dist, cluster)) and a rounded per-dim
-    mean CTE; final assignment against the last centroids."""
+def duckdb_kmeans_ctes(table: str = "embeddings", k: int = 8,
+                       iters: int = 2, dim: int = 64,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> str:
+    """The twin's CTE chain (no WITH keyword, no final select) ending in
+    ``afinal(vec_id, v, cluster)`` — reusable by queries that compose
+    k-means with further stages (e.g. within-cluster near-dup)."""
     dist = _dist_sql("p.v", "c.c", dim, "duck")
 
     def assign_cte(name, cent):
@@ -135,6 +135,17 @@ def duckdb_kmeans_sql(table: str = "embeddings", k: int = 8,
             from a{t} group by cluster
         )""")
     ctes.append(assign_cte("afinal", f"cent{iters}"))
-    return (f"with {', '.join(ctes)} "
+    return ", ".join(ctes)
+
+
+def duckdb_kmeans_sql(table: str = "embeddings", k: int = 8,
+                      iters: int = 2, dim: int = 64,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """Chained-CTE twin: cent0 = smallest-id embeddings; per iteration an
+    assignment CTE (row_number over (dist, cluster)) and a rounded per-dim
+    mean CTE; final assignment against the last centroids."""
+    ctes = duckdb_kmeans_ctes(table, k, iters, dim, vec_col, id_col)
+    return (f"with {ctes} "
             f"select vec_id as {id_col}, cast(cluster as int) as cluster "
             f"from afinal")
