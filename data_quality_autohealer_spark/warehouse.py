@@ -111,6 +111,47 @@ class Warehouse:
             self._write_manifest(table, {"num_buckets": self.num_buckets,
                                          "partition_spec": "bucket(url)"})
 
+    def upsert_pages(self, new_df: DataFrame, table: str = "pages") -> dict:
+        """Incremental re-crawl ingest: latest ``warc_ts`` per url wins
+        (ties prefer the incoming row). Only the bucket partitions TOUCHED
+        by incoming urls are rewritten — dynamic partition overwrite, so
+        merge cost tracks the delta's bucket footprint, not table size
+        (at 65,536 buckets a 0.1% recrawl rewrites ~0.1% of partitions
+        unless its urls are spread; content-addressed bucketing means a
+        host-focused recrawl stays focused).
+
+        Parquet fallback note: the merged frame is localCheckpoint'ed
+        before the write because the job reads the same path it overwrites
+        (Spark refuses self-overwrite through lineage). The checkpoint is
+        bounded: affected buckets only. On Iceberg this is
+        ``MERGE INTO``/overwritePartitions against a snapshot — no
+        checkpoint needed.
+        """
+        from pyspark.sql.window import Window
+
+        new_b = new_df.withColumn(
+            "bucket", bucket_expr("url", self.num_buckets))
+        affected = sorted(r["bucket"] for r in
+                          new_b.select("bucket").distinct().collect())
+        existing = self.read_pages(table).where(
+            F.col("bucket").isin(affected))
+        merged = (existing.withColumn("_src", F.lit(0))
+                  .unionByName(new_b.withColumn("_src", F.lit(1))))
+        w = (Window.partitionBy("url")
+             .orderBy(F.col("warc_ts").desc(), F.col("_src").desc()))
+        latest = (merged.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn", "_src"))
+        if self.use_iceberg:
+            latest.drop("bucket").writeTo(self._fqn(table)) \
+                .overwritePartitions()
+        else:
+            snap = latest.localCheckpoint(eager=True)
+            (snap.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("bucket").parquet(self._path(table)))
+        return {"affected_buckets": len(affected),
+                "total_buckets": self.num_buckets}
+
     def read_pages(self, table: str = "pages") -> DataFrame:
         if self.use_iceberg:
             df = self.spark.read.table(self._fqn(table))

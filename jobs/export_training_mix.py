@@ -1,0 +1,102 @@
+"""Training-mix export CLI: the BACK edge of the pipeline — filtered clean
+pages -> per-language mixture sampling -> sharded JSONL.gz, the artifact a
+training job actually consumes.
+
+  python jobs/export_training_mix.py --warehouse /wh --out /mix \
+      --rates en=1.0,de=0.5,fr=0.5 --shards 64
+
+Design for 100 TB:
+- Mixture sampling is the deterministic hash-fraction predicate
+  (operators/curation.stratified_sample): shuffle-free, resumable
+  (same salt => same sample), exact on the 1e-6 grid.
+- Sharding is pmod(xxhash64(url), shards): content-addressed, so a re-run
+  (or a second cluster) produces the same url->shard mapping; one
+  repartition on the shard key is the job's only shuffle, sized so each
+  output file is one executor task's write.
+- Output is gzip JSONL (sources/tables.write_jsonl): line-oriented,
+  splittable at the FILE level, the interchange format downstream
+  tokenizer/packing jobs expect.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_rates(spec: str) -> dict[str, float]:
+    out = {}
+    for part in filter(None, (p.strip() for p in spec.split(","))):
+        k, _, v = part.partition("=")
+        out[k] = float(v)
+    return out
+
+
+def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
+               shards: int, salt: str = "mix") -> dict:
+    """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary."""
+    from pyspark.sql import functions as F
+
+    from data_quality_autohealer_spark.operators.curation import (
+        stratified_sample,
+    )
+    from data_quality_autohealer_spark.sources.tables import write_jsonl
+
+    sampled = stratified_sample(clean, rates, strata_col="lang",
+                                id_col="url", salt=salt)
+    sharded = (sampled
+               .withColumn("shard", F.expr(f"pmod(xxhash64(url), {shards})"))
+               .repartition(shards, "shard"))
+    write_jsonl(sharded.select("url", "lang", "text", "shard")
+                .sortWithinPartitions("url"), out_dir)
+    in_counts = {r["lang"]: r["count"]
+                 for r in clean.groupBy("lang").count().collect()}
+    out_counts = {r["lang"]: r["count"]
+                  for r in sampled.groupBy("lang").count().collect()}
+    return {
+        "out": out_dir,
+        "shards": shards,
+        "docs_in": sum(in_counts.values()),
+        "docs_out": sum(out_counts.values()),
+        "by_lang": {lang: {"in": in_counts.get(lang, 0),
+                           "out": out_counts.get(lang, 0)}
+                    for lang in sorted(in_counts)},
+    }
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--clean-table", default="pages_clean")
+    p.add_argument("--out", required=True)
+    p.add_argument("--rates", default="",
+                   help="lang=rate[,lang=rate...]; unlisted langs default "
+                        "to --default-rate")
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--salt", default="mix")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from data_quality_autohealer_spark.session import get_spark
+    from data_quality_autohealer_spark.warehouse import Warehouse
+
+    spark = get_spark(app_name="dqa-export-mix", master=args.master)
+    wh = Warehouse(spark, args.warehouse)
+    clean = wh.read_clean(args.clean_table)
+    rates = parse_rates(args.rates)
+    # default_rate keeps unlisted languages rather than silently dropping
+    langs = [r["lang"] for r in clean.select("lang").distinct().collect()]
+    sampled_rates = {lang: rates.get(lang, args.default_rate)
+                     for lang in langs}
+    return export_mix(spark, clean, args.out, sampled_rates, args.shards,
+                      args.salt)
+
+
+if __name__ == "__main__":
+    json.dump(main(), sys.stdout)
+    print()

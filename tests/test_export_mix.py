@@ -1,0 +1,62 @@
+"""Training-mix export: mixture rates honored, content-addressed sharding
+deterministic across runs, JSONL.gz round-trips."""
+
+import jobs.export_training_mix as ex
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.plans.pipeline import run_filter
+from data_quality_autohealer_spark.warehouse import Warehouse
+
+
+def _clean_warehouse(spark, tmp_path, n=3000):
+    wh = Warehouse(spark, str(tmp_path / "wh"), num_buckets=4)
+    wh.write_pages(synth.gen_pages_df(spark, n, num_partitions=4))
+    run_filter(wh, "r1")
+    return str(tmp_path / "wh")
+
+
+def test_parse_rates():
+    assert ex.parse_rates("en=1.0, de=0.5,fr=0.25") == {
+        "en": 1.0, "de": 0.5, "fr": 0.25}
+    assert ex.parse_rates("") == {}
+
+
+def test_export_rates_shards_and_determinism(spark, tmp_path):
+    wh_dir = _clean_warehouse(spark, tmp_path)
+    out1 = str(tmp_path / "mix1")
+    s = ex.main(["--warehouse", wh_dir, "--out", out1,
+                 "--rates", "en=0.5", "--shards", "8"])
+    assert s["docs_out"] < s["docs_in"]
+    en = s["by_lang"]["en"]
+    assert 0.35 < en["out"] / en["in"] < 0.65  # ~0.5 hash-fraction sample
+    for lang, c in s["by_lang"].items():
+        if lang != "en":
+            assert c["out"] == c["in"]  # default rate 1.0 keeps the rest
+
+    back = spark.read.json(out1)
+    assert back.count() == s["docs_out"]
+    assert back.select("shard").distinct().count() <= 8
+    assert set(back.columns) >= {"url", "lang", "text", "shard"}
+
+    # content-addressed sharding: a second export maps every url to the
+    # SAME shard (a re-run or second cluster produces the same layout)
+    out2 = str(tmp_path / "mix2")
+    s2 = ex.main(["--warehouse", wh_dir, "--out", out2,
+                  "--rates", "en=0.5", "--shards", "8"])
+    assert s2["docs_out"] == s["docs_out"]
+    m1 = {r["url"]: r["shard"]
+          for r in back.select("url", "shard").collect()}
+    m2 = {r["url"]: r["shard"]
+          for r in spark.read.json(out2).select("url", "shard").collect()}
+    assert m1 == m2
+
+
+def test_export_salt_varies_sample(spark, tmp_path):
+    wh_dir = _clean_warehouse(spark, tmp_path, n=1500)
+    a = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "a"),
+                 "--rates", "en=0.5", "--shards", "4", "--salt", "s1"])
+    b = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "b"),
+                 "--rates", "en=0.5", "--shards", "4", "--salt", "s2"])
+    ua = {r["url"] for r in spark.read.json(str(tmp_path / "a")).collect()}
+    ub = {r["url"] for r in spark.read.json(str(tmp_path / "b")).collect()}
+    assert ua != ub  # independent draws
+    assert abs(len(ua) - len(ub)) < 0.2 * max(len(ua), len(ub))

@@ -1,0 +1,74 @@
+"""Incremental upsert: latest-wins merge semantics + proof that only the
+bucket partitions touched by the delta are rewritten."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.warehouse import Warehouse, bucket_expr
+
+N_BUCKETS = 64
+
+
+def _mtimes(path):
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            full = os.path.join(path, d)
+            out[d] = max(os.path.getmtime(os.path.join(full, f))
+                         for f in os.listdir(full))
+    return out
+
+
+def test_upsert_latest_wins_and_partition_pruning(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), num_buckets=N_BUCKETS)
+    base = synth.gen_pages_df(spark, 2000, num_partitions=4).cache()
+    wh.write_pages(base)
+    before = _mtimes(str(tmp_path / "wh" / "pages"))
+
+    # small delta: 8 re-crawled urls (newer ts, new text) + 4 new urls
+    recrawl = (base.orderBy("url").limit(8)
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("interval 1 day"))
+               .withColumn("text", F.concat("text", F.lit(" v2"))))
+    fresh = (base.orderBy(F.desc("url")).limit(4)
+             .withColumn("url", F.concat(F.lit("http://new.example/"),
+                                         F.col("url"))))
+    delta = recrawl.unionByName(fresh).cache()
+    summary = wh.upsert_pages(delta)
+    assert 0 < summary["affected_buckets"] <= N_BUCKETS
+
+    after_df = wh.read_pages()
+    assert after_df.count() == 2004
+    # re-crawled urls: exactly one row each, the v2 one
+    sample = {r["url"]: r["text"]
+              for r in after_df.join(
+                  recrawl.select("url"), "url").collect()}
+    assert len(sample) == 8
+    assert all(t.endswith(" v2") for t in sample.values())
+
+    # pruning proof: bucket dirs the delta does not touch are byte-untouched
+    delta_buckets = {f"bucket={r['b']}" for r in delta.select(
+        bucket_expr("url", N_BUCKETS).alias("b")).distinct().collect()}
+    after = _mtimes(str(tmp_path / "wh" / "pages"))
+    untouched = set(before) - delta_buckets
+    assert untouched, "test needs at least one untouched bucket"
+    for d in untouched:
+        assert after[d] == before[d], f"{d} was rewritten needlessly"
+    base.unpersist()
+    delta.unpersist()
+
+
+def test_upsert_tie_prefers_incoming(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"), num_buckets=4)
+    base = synth.gen_pages_df(spark, 100, num_partitions=1).cache()
+    wh.write_pages(base)
+    same_ts = (base.orderBy("url").limit(10)
+               .withColumn("text", F.concat("text", F.lit(" tie-win"))))
+    wh.upsert_pages(same_ts)
+    got = {r["url"]: r["text"] for r in wh.read_pages().join(
+        same_ts.select("url"), "url").collect()}
+    assert len(got) == 10
+    assert all(t.endswith(" tie-win") for t in got.values())
+    base.unpersist()
