@@ -710,6 +710,58 @@ def _q_token_count_bpe(spark, sf_dir):
     )
 
 
+_PACK_WINDOW = 2048
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _q_sequence_pack(spark, sf_dir):
+    # concat-and-chunk sequence packing (how LLM training actually packs:
+    # concatenate the per-lang doc stream in doc_id order, slice into
+    # fixed L-token windows; docs may straddle chunk boundaries). One
+    # window cumsum per lang — a single shuffle; chunk ids are pure
+    # arithmetic on the exclusive running total.
+    from pyspark.sql.window import Window
+
+    L = _PACK_WINDOW
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.expr(f"regexp_count(text, '{_BPE_PAT}')").cast("long")
+        .alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (docs.withColumn("tok_start", start)
+            .selectExpr(
+                "doc_id", "lang", "n_tokens", "tok_start",
+                f"tok_start div {L} as chunk_start",
+                # empty docs occupy their start chunk (greatest(n,1))
+                f"(tok_start + greatest(n_tokens, 1) - 1) div {L}"
+                " as chunk_end"))
+
+
+def _oracle_sequence_pack() -> str:
+    L = _PACK_WINDOW
+    return f"""
+        with t as (
+            select doc_id, lang,
+                   len(regexp_extract_all(text, '{_BPE_PAT}'))::bigint
+                       as n_tokens
+            from documents
+        ), s as (
+            select *,
+                   coalesce(sum(n_tokens) over (
+                       partition by lang order by doc_id
+                       rows between unbounded preceding and 1 preceding),
+                       0)::bigint as tok_start
+            from t
+        )
+        select doc_id, lang, n_tokens, tok_start,
+               tok_start // {L} as chunk_start,
+               (tok_start + greatest(n_tokens, 1) - 1) // {L} as chunk_end
+        from s
+    """
+
+
 _NEARDUP_COS = 0.30
 
 
@@ -1064,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_neardup": _q_semantic_neardup,
+        "sequence_pack": _q_sequence_pack,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
@@ -1385,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": clustering.duckdb_kmeans_sql(
             k=_KMEANS_K, iters=_KMEANS_ITERS),
         "semantic_neardup": _oracle_semantic_neardup(),
+        "sequence_pack": _oracle_sequence_pack(),
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint
