@@ -120,6 +120,23 @@ def stream_dedup_pages(pages: DataFrame, watermark: str = "1 hour",
             .drop("fp"))
 
 
+def upsert_stream(pages_stream: DataFrame, wh, table: str = "pages",
+                  checkpoint: str | None = None):
+    """Streaming incremental ingest (the foreachBatch CDC pattern): every
+    micro-batch MERGES into the bucketed pages table via
+    ``Warehouse.upsert_pages`` — latest ``warc_ts`` per url wins, only
+    delta-touched bucket partitions rewrite. Effective exactly-once
+    without a transactional sink: the merge is idempotent (re-applying a
+    replayed batch after a crash changes nothing), which is the standard
+    way foreachBatch upgrades at-least-once delivery.
+    """
+    w = (pages_stream.writeStream
+         .foreachBatch(lambda df, _epoch: wh.upsert_pages(df, table)))
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
 def stateful_host_quality(scored: DataFrame, watermark: str = "10 minutes",
                           timeout_ms: int = 600_000) -> DataFrame:
     """CUSTOM stateful operator via ``applyInPandasWithState``: per-host

@@ -129,6 +129,11 @@ class Warehouse:
         """
         from pyspark.sql.window import Window
 
+        if not self.use_iceberg and not os.path.exists(self._path(table)):
+            # first delta against an empty warehouse: plain bucketed write
+            self.write_pages(new_df, table)
+            return {"affected_buckets": self.num_buckets,
+                    "total_buckets": self.num_buckets}
         new_b = new_df.withColumn(
             "bucket", bucket_expr("url", self.num_buckets))
         affected = sorted(r["bucket"] for r in

@@ -72,3 +72,36 @@ def test_upsert_tie_prefers_incoming(spark, tmp_path):
     assert len(got) == 10
     assert all(t.endswith(" tie-win") for t in got.values())
     base.unpersist()
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """CDC-style streaming ingest: two micro-batches where the second
+    re-crawls half the first's urls with a newer ts -> final table has one
+    row per url, the newer one."""
+    from data_quality_autohealer_spark.streaming.stream_filter import (
+        stream_pages_from_files, upsert_stream,
+    )
+
+    src = str(tmp_path / "s_src")
+    base = synth.gen_pages_df(spark, 200, num_partitions=1).cache()
+    base.write.parquet(src)  # micro-batch 1: the full crawl
+    recrawl = (base.orderBy("url").limit(100)
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("interval 1 day"))
+               .withColumn("text", F.concat("text", F.lit(" rev2"))))
+    recrawl.coalesce(1).write.mode("append").parquet(src)  # micro-batch 2
+
+    wh = Warehouse(spark, str(tmp_path / "s_wh"), num_buckets=8)
+    stream = stream_pages_from_files(spark, src, max_files_per_trigger=1)
+    q = (upsert_stream(stream, wh, checkpoint=str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = wh.read_pages()
+    assert got.count() == 200  # one row per url, no duplicates
+    rev2 = got.where(F.col("text").endswith(" rev2")).count()
+    assert rev2 == 100  # every re-crawled url shows the newer revision
+    base.unpersist()
