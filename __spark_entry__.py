@@ -701,10 +701,11 @@ def _q_zscore_outliers(spark, sf_dir):
 
 def _q_token_count_bpe(spark, sf_dir):
     # BPE-ish subword token census: alpha runs, digit runs, single symbols
-    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    # (the same _BPE_PAT sequence_pack packs by — one definition)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.expr(f"regexp_count(text, '{pat}')").cast("long").alias("bpe_tokens"),
+        F.expr(f"regexp_count(text, '{_BPE_PAT}')").cast("long")
+        .alias("bpe_tokens"),
         F.expr(f"size({th._spark_words('text')})").cast("long")
         .alias("ws_tokens"),
     )

@@ -47,6 +47,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     (side 1) at equal ts — inclusive <= semantics with no join.
     """
     lcols = left.columns
+    # rows with NULL join keys never match in the DuckDB twin's equi-join;
+    # drop them from the right side so Spark's window (which groups NULL
+    # keys into one partition) agrees: NULL-key left rows stay unmatched
+    for k in on:
+        right = right.where(F.col(k).isNotNull())
     pack = F.struct(F.col(right_ts).alias("_mts"),
                     *[F.col(p).alias(p) for p in payload])
     r = right.select(
@@ -94,8 +99,9 @@ def duckdb_asof_sql(left_sql: str, right_sql: str, on: list[str],
         with l as ({left_sql}),
         r as (select *, row_number() over (
                   partition by {', '.join(on)}
-                  order by {right_ts} asc, {tie_col} asc) as _rn
-              from ({right_sql})),
+                  order by {right_ts} asc, {tie_col} asc nulls first) as _rn
+              from ({right_sql})
+              where {' and '.join(f'{k} is not null' for k in on)}),
         best as (
             select {lc}, max(r._rn) as _rn
             from l left join r on {key_eq} and r.{right_ts} <= l.{left_ts}

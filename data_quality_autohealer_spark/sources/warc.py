@@ -156,15 +156,25 @@ def write_warc_file(records: Iterable[dict], path: str,
     return n
 
 
-def html_payload_text(payload: Column) -> Column:
-    """HTTP-response payload (binary) -> visible text, entirely JVM-side
-    (regexp chain inside whole-stage codegen — no Python in the hot path):
-    strip the HTTP header block, drop script/style subtrees, strip tags,
-    decode the common entities, collapse whitespace."""
+def http_body(payload: Column) -> Column:
+    """HTTP-response payload -> the body (header block stripped), as a
+    UTF-8-decoded string (invalid bytes replaced; binary substring isn't
+    expressible JVM-side, and downstream consumers of the html column are
+    text-oriented). Non-HTTP payloads pass through unchanged."""
     s = payload.cast("string")
-    body = F.regexp_replace(s, r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n", "")
-    no_script = F.regexp_replace(
-        body, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    return F.regexp_replace(s, r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n", "")
+
+
+def html_payload_text(body: Column) -> Column:
+    """HTML string -> visible text, entirely JVM-side (regexp chain inside
+    whole-stage codegen — no Python in the hot path): drop script/style
+    subtrees, strip tags, decode the common entities, collapse whitespace.
+    Patterns follow CLAUDE.md's portability rule (no backreferences —
+    script and style are separate alternations, RE2-safe)."""
+    no_script = body
+    for tag in ("script", "style"):
+        no_script = F.regexp_replace(
+            no_script, rf"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
     no_tags = F.regexp_replace(no_script, r"(?s)<[^>]*>", " ")
     ent = no_tags
     for pat, rep in ((r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
@@ -176,13 +186,26 @@ def html_payload_text(payload: Column) -> Column:
 def warc_to_pages(records: DataFrame) -> DataFrame:
     """Adapt response records to the pipeline's pages schema
     (synth.PAGES_SCHEMA_DDL: url, warc_ts, html, text, lang) so a crawl
-    segment feeds the quality filter directly. lang arrives unknown ('und')
-    and is assigned by the langid stage downstream."""
-    return records.select(
-        F.col("url"),
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ssX")
-        .alias("warc_ts"),
-        F.col("payload").alias("html"),
-        html_payload_text(F.col("payload")).alias("text"),
-        F.lit("und").alias("lang"),
-    )
+    segment feeds the quality filter directly.
+
+    - ``html`` is the HTTP BODY (status line + headers stripped), matching
+      the synth pages contract where html holds markup only.
+    - ``warc_ts``: WARC 1.1 allows fractional seconds; the fraction is
+      truncated before parsing (whole-second precision) rather than
+      silently yielding NULL on '...T00:00:00.123456Z'.
+    - ``lang`` arrives unknown ('und') and is assigned by the langid stage
+      downstream (the decision rule exempts an 'und' claim).
+    """
+    ts = F.to_timestamp(
+        F.regexp_replace(F.col("warc_date"), r"[.][0-9]+", ""),
+        "yyyy-MM-dd'T'HH:mm:ssX")
+    # body staged as a column (referenced twice) so the header-strip regex
+    # runs once per row (CLAUDE.md CollapseProject gotcha)
+    return (records.withColumn("_body", http_body(F.col("payload")))
+            .select(
+                F.col("url"),
+                ts.alias("warc_ts"),
+                F.col("_body").cast("binary").alias("html"),
+                html_payload_text(F.col("_body")).alias("text"),
+                F.lit("und").alias("lang"),
+            ))

@@ -129,9 +129,25 @@ class Warehouse:
         """
         from pyspark.sql.window import Window
 
-        if not self.use_iceberg and not os.path.exists(self._path(table)):
-            # first delta against an empty warehouse: plain bucketed write
-            self.write_pages(new_df, table)
+        def _latest(df):
+            # total order: newest ts, then incoming over existing, then a
+            # content hash — so equal-ts duplicates WITHIN one batch (a
+            # crawler retry) resolve identically on every (re)run, keeping
+            # the merge idempotent as upsert_stream's exactly-once relies on
+            w = (Window.partitionBy("url")
+                 .orderBy(F.col("warc_ts").desc(), F.col("_src").desc(),
+                          F.md5(F.col("text")).desc()))
+            return (df.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1).drop("_rn", "_src"))
+
+        exists = (self.spark.catalog.tableExists(self._fqn(table))
+                  if self.use_iceberg
+                  else os.path.exists(self._path(table)))
+        if not exists:
+            # first delta against an empty warehouse: dedupe the batch
+            # itself, then a plain bucketed write
+            self.write_pages(_latest(new_df.withColumn("_src", F.lit(1))),
+                             table)
             return {"affected_buckets": self.num_buckets,
                     "total_buckets": self.num_buckets}
         new_b = new_df.withColumn(
@@ -142,10 +158,7 @@ class Warehouse:
             F.col("bucket").isin(affected))
         merged = (existing.withColumn("_src", F.lit(0))
                   .unionByName(new_b.withColumn("_src", F.lit(1))))
-        w = (Window.partitionBy("url")
-             .orderBy(F.col("warc_ts").desc(), F.col("_src").desc()))
-        latest = (merged.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") == 1).drop("_rn", "_src"))
+        latest = _latest(merged)
         if self.use_iceberg:
             latest.drop("bucket").writeTo(self._fqn(table)) \
                 .overwritePartitions()

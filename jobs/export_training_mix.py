@@ -37,34 +37,39 @@ def parse_rates(spec: str) -> dict[str, float]:
 
 
 def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
-               shards: int, salt: str = "mix") -> dict:
+               shards: int, salt: str = "mix",
+               default_rate: float = 1.0) -> dict:
     """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary."""
     from pyspark.sql import functions as F
 
     from data_quality_autohealer_spark.operators.curation import (
-        stratified_sample,
+        _hash_frac_sql, _rate_case_sql, stratified_sample,
     )
     from data_quality_autohealer_spark.sources.tables import write_jsonl
 
     sampled = stratified_sample(clean, rates, strata_col="lang",
-                                id_col="url", salt=salt)
+                                id_col="url", default_rate=default_rate,
+                                salt=salt)
     sharded = (sampled
                .withColumn("shard", F.expr(f"pmod(xxhash64(url), {shards})"))
                .repartition(shards, "shard"))
     write_jsonl(sharded.select("url", "lang", "text", "shard")
                 .sortWithinPartitions("url"), out_dir)
-    in_counts = {r["lang"]: r["count"]
-                 for r in clean.groupBy("lang").count().collect()}
-    out_counts = {r["lang"]: r["count"]
-                  for r in sampled.groupBy("lang").count().collect()}
+    # in/out counts in ONE scan: re-evaluate the (deterministic) sample
+    # predicate as a conditional sum instead of recomputing the sample
+    pred = (f"({_hash_frac_sql('url', salt, 'spark')})"
+            f" < ({_rate_case_sql('lang', rates, default_rate)})")
+    counts = (clean.groupBy("lang")
+              .agg(F.count("*").alias("n_in"),
+                   F.sum(F.expr(pred).cast("long")).alias("n_out"))
+              .collect())
     return {
         "out": out_dir,
         "shards": shards,
-        "docs_in": sum(in_counts.values()),
-        "docs_out": sum(out_counts.values()),
-        "by_lang": {lang: {"in": in_counts.get(lang, 0),
-                           "out": out_counts.get(lang, 0)}
-                    for lang in sorted(in_counts)},
+        "docs_in": sum(r["n_in"] for r in counts),
+        "docs_out": sum(r["n_out"] for r in counts),
+        "by_lang": {r["lang"]: {"in": r["n_in"], "out": r["n_out"]}
+                    for r in sorted(counts, key=lambda r: r["lang"])},
     }
 
 
@@ -88,13 +93,10 @@ def main(argv: list[str] | None = None) -> dict:
     spark = get_spark(app_name="dqa-export-mix", master=args.master)
     wh = Warehouse(spark, args.warehouse)
     clean = wh.read_clean(args.clean_table)
-    rates = parse_rates(args.rates)
     # default_rate keeps unlisted languages rather than silently dropping
-    langs = [r["lang"] for r in clean.select("lang").distinct().collect()]
-    sampled_rates = {lang: rates.get(lang, args.default_rate)
-                     for lang in langs}
-    return export_mix(spark, clean, args.out, sampled_rates, args.shards,
-                      args.salt)
+    return export_mix(spark, clean, args.out, parse_rates(args.rates),
+                      args.shards, args.salt,
+                      default_rate=args.default_rate)
 
 
 if __name__ == "__main__":

@@ -27,13 +27,22 @@ def synth_segments(spark, out_dir: str, segments: int,
                    docs_per_segment: int) -> int:
     """Deterministic crawl directory: pages -> HTTP-wrapped WARC records,
     one .warc.gz per segment (driver-side writer; test/sandbox scale)."""
+    from pyspark.sql import functions as F
+
     from data_quality_autohealer_spark import synth
     from data_quality_autohealer_spark.sources.warc import write_warc_file
 
     os.makedirs(out_dir, exist_ok=True)
     n = segments * docs_per_segment
+    # WARC-Date formatted JVM-side under the session's pinned UTC zone —
+    # collect() would hand back naive datetimes in the DRIVER's OS zone,
+    # shifting every stamped date on a non-UTC host
     rows = (synth.gen_pages_df(spark, n, num_partitions=segments)
-            .select("url", "warc_ts", "html").collect())
+            .select("url",
+                    F.concat(F.date_format("warc_ts",
+                                           "yyyy-MM-dd'T'HH:mm:ss"),
+                             F.lit("Z")).alias("warc_date"),
+                    "html").collect())
     total = 0
     for s in range(segments):
         recs = []
@@ -44,7 +53,7 @@ def synth_segments(spark, out_dir: str, segments: int,
             recs.append({
                 "warc_type": "response",
                 "url": r["url"],
-                "warc_date": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "warc_date": r["warc_date"],
                 "record_id": f"<urn:uuid:{s}-{len(recs)}>",
                 "content_type": "application/http; msgtype=response",
                 "payload": payload,

@@ -133,3 +133,21 @@ def test_time_range_join_excludes_outside_window(spark):
     # left id 2 at ts=20min is 8min from the latest u click -> excluded
     assert not any(l == 2 for l, _ in got)
     assert (4, 201) in got  # 60s apart exactly
+
+
+def test_asof_null_keys_and_null_ties(spark):
+    """NULL join keys never match (twin equi-join semantics) and a NULL
+    tie_col row loses to any non-NULL one at the same ts."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(10), 1.0), (2, "u", _ts(10), 2.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    right = spark.createDataFrame(
+        [(None, _ts(5), 50, 0.5),      # NULL key: matches nothing
+         ("u", _ts(5), None, 0.7),     # NULL tie at same ts as id 51
+         ("u", _ts(5), 51, 0.9)],
+        "user_id string, ts timestamp, event_id long, value double")
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["event_id", "value"], tie_col="event_id").collect()}
+    assert out[1]["event_id_asof"] is None  # NULL-key left row unmatched
+    assert out[2]["event_id_asof"] == 51    # non-NULL tie wins

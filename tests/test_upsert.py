@@ -105,3 +105,27 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     rev2 = got.where(F.col("text").endswith(" rev2")).count()
     assert rev2 == 100  # every re-crawled url shows the newer revision
     base.unpersist()
+
+
+def test_upsert_intra_batch_duplicates_deterministic(spark, tmp_path):
+    """Equal-ts duplicates of one url WITHIN a batch resolve identically
+    on every run (md5(text) tie-break) — and the first write dedupes."""
+    rows = [("http://x.example/a", "2024-01-01 00:00:00", "alpha"),
+            ("http://x.example/a", "2024-01-01 00:00:00", "beta")]
+    delta = spark.createDataFrame(rows, "url string, ts string, text string") \
+        .selectExpr("url", "cast(ts as timestamp) as warc_ts",
+                    "cast(null as binary) as html", "text",
+                    "'en' as lang")
+    wh1 = Warehouse(spark, str(tmp_path / "w1"), num_buckets=4)
+    wh1.upsert_pages(delta)          # first write: must dedupe
+    got1 = wh1.read_pages().collect()
+    assert len(got1) == 1
+    # re-applying the same batch is a no-op (idempotent merge)
+    wh1.upsert_pages(delta)
+    got2 = wh1.read_pages().collect()
+    assert [r["text"] for r in got1] == [r["text"] for r in got2]
+    # md5('beta') vs md5('alpha'): greatest md5 wins, fixed forever
+    import hashlib
+    want = max(["alpha", "beta"],
+               key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert got1[0]["text"] == want

@@ -122,3 +122,18 @@ def test_warc_ingest_cli_end_to_end(spark, tmp_path):
     scored = score_pages(wh.read_pages())
     kept = scored.where("keep").count()
     assert 0 < kept <= 120  # extracted text flows through the real filter
+
+
+def test_fractional_second_dates_and_html_is_body(spark, tmp_path):
+    """WARC 1.1 fractional-second dates parse (truncated, not NULL) and
+    the html column holds the HTTP BODY, not the header block."""
+    path = str(tmp_path / "frac.warc")
+    rec = dict(_recs()[1])
+    rec["warc_date"] = "2024-01-01T00:00:01.123456Z"
+    write_warc_file([rec], path)
+    row = warc_to_pages(read_warc(spark, path)).collect()[0]
+    assert row["warc_ts"] is not None
+    assert row["warc_ts"].second == 1
+    html = bytes(row["html"])
+    assert html.startswith(b"<html>")      # header block stripped
+    assert b"HTTP/1.1" not in html
