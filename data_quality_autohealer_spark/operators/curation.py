@@ -47,6 +47,8 @@ def _hash_frac_sql(id_expr: str, salt: str, engine: str) -> str:
 
 def _rate_case_sql(strata_col: str, rates: dict[str, float],
                    default_rate: float) -> str:
+    if not rates:  # CASE with zero WHEN branches is a parse error
+        return f"cast({default_rate} as double)"
     whens = " ".join(f"when '{s}' then cast({r} as double)"
                      for s, r in sorted(rates.items()))
     return (f"case {strata_col} {whens} "

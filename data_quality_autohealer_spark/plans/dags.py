@@ -341,8 +341,79 @@ def build_distribution_shift_dag() -> DAG:
 
 
 def all_dags() -> dict[str, DAG]:
-    """The five reference remediation chains, keyed by dag_id."""
+    """The five reference remediation chains, keyed by dag_id.
+    (The graft-side crawl_to_training_mix pipeline DAG is deliberately NOT
+    here — this dict mirrors the reference's airflow_dags/ directory 1:1.)
+    """
     dags = [build_outlier_dag(), build_missing_data_dag(),
             build_type_mismatch_dag(), build_schema_drift_dag(),
             build_distribution_shift_dag()]
     return {d.dag_id: d for d in dags}
+
+
+# ---------------------------------------------------------------------------
+# graft addition: the end-to-end LLM-data pipeline as one DAG
+# ---------------------------------------------------------------------------
+
+
+def build_crawl_to_mix_dag() -> DAG:
+    """The capstone chain: WARC crawl segments → pages warehouse → quality
+    filter → {exact dedup, language census} → training-mix export.
+
+    ctx in: spark, crawl_dir, warehouse_dir, out_dir; optional run_id,
+    rates, default_rate, shards, num_buckets, synth_segments /
+    docs_per_segment (fabricate a deterministic crawl for sandbox runs).
+    Each task body is an already-tested CLI/operator; `jobs.*` imports are
+    lazy (DAG files run from a checkout, like Airflow's own dagbag).
+    """
+
+    def ingest(ctx):
+        from ..sources.warc import read_warc, warc_to_pages
+        from ..warehouse import Warehouse
+        spark = ctx["spark"]
+        if ctx.get("synth_segments"):
+            from jobs.run_warc_ingest import synth_segments
+            synth_segments(spark, ctx["crawl_dir"], ctx["synth_segments"],
+                           ctx.get("docs_per_segment", 200))
+        wh = Warehouse(spark, ctx["warehouse_dir"],
+                       num_buckets=ctx.get("num_buckets", 16))
+        wh.write_pages(warc_to_pages(read_warc(spark, ctx["crawl_dir"])))
+        return {"wh": wh, "pages_in": wh.read_pages().count()}
+
+    def filt(ctx):
+        from .pipeline import run_filter
+        return {"filter_summary": run_filter(
+            ctx["wh"], ctx.get("run_id", "dag-run"))}
+
+    def dedup_task(ctx):
+        from ..operators import dedup
+        clean = ctx["wh"].read_clean()
+        deduped = dedup.exact_dedup(clean, text_col="text", id_col="url")
+        return {"deduped": deduped, "docs_clean": clean.count(),
+                "docs_deduped": deduped.count()}
+
+    def census(ctx):
+        rows = ctx["wh"].read_clean().groupBy("lang").count().collect()
+        return {"lang_census": {r["lang"]: r["count"] for r in rows}}
+
+    def export(ctx):
+        from jobs.export_training_mix import export_mix
+        return {"export_summary": export_mix(
+            ctx["spark"], ctx["deduped"], ctx["out_dir"],
+            ctx.get("rates", {}), ctx.get("shards", 8),
+            default_rate=ctx.get("default_rate", 1.0))}
+
+    ingest_t = Task("ingest_warc", ingest)
+    filter_t = Task("filter_quality", filt)
+    dedup_t = Task("dedup_corpus", dedup_task)
+    census_t = Task("language_census", census)
+    export_t = Task("export_training_mix", export)
+    notify_t = Task("send_notification",
+                    _notify("crawl_to_training_mix",
+                            ["pages_in", "docs_clean", "docs_deduped",
+                             "lang_census", "export_summary"]))
+    ingest_t >> filter_t >> [dedup_t, census_t] >> export_t >> notify_t
+    return DAG("crawl_to_training_mix",
+               "Crawl segments to training-ready JSONL shards",
+               [ingest_t, filter_t, dedup_t, census_t, export_t, notify_t],
+               tags=["llm-data", "pipeline", "end-to-end"])

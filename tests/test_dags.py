@@ -134,3 +134,32 @@ def test_distribution_shift_dag_executes(spark, tmp_path):
          "shift_threshold": 0.01, "sample_docs": 50})
     assert ctx2["retrain"]["retrained"] and ctx2["validated"]
     assert ctx2["deploy_env"]["DQA_PPLX_MODEL"] == ctx2["deployed_model"]
+
+
+def test_crawl_to_mix_dag_executes_end_to_end(spark, tmp_path):
+    """The capstone pipeline DAG: synth crawl -> ingest -> filter ->
+    {dedup, census} -> export, executed topologically for real."""
+    from data_quality_autohealer_spark.plans.dags import (
+        build_crawl_to_mix_dag,
+    )
+
+    dag = build_crawl_to_mix_dag()
+    ctx = dag.run({
+        "spark": spark,
+        "crawl_dir": str(tmp_path / "crawl"),
+        "warehouse_dir": str(tmp_path / "wh"),
+        "out_dir": str(tmp_path / "mix"),
+        "synth_segments": 2,
+        "docs_per_segment": 150,
+        "num_buckets": 4,
+        "shards": 4,
+    })
+    assert ctx["pages_in"] == 300
+    s = ctx["filter_summary"]
+    assert s["docs_in"] == 300 and 0 < s["docs_kept"] <= 300
+    assert 0 < ctx["docs_deduped"] <= ctx["docs_clean"] == s["docs_kept"]
+    assert sum(ctx["lang_census"].values()) == s["docs_kept"]
+    assert ctx["export_summary"]["docs_out"] == ctx["docs_deduped"]
+    back = spark.read.json(str(tmp_path / "mix"))
+    assert back.count() == ctx["docs_deduped"]
+    assert ctx["notifications"][-1]["dag_id"] == "crawl_to_training_mix"
