@@ -99,3 +99,63 @@ def test_decision_partition_invariant(spark):
     a = {r["url"]: (r["keep"], tuple(r["reasons"])) for r in one.collect()}
     b = {r["url"]: (r["keep"], tuple(r["reasons"])) for r in many.collect()}
     assert a == b
+
+
+# --- temporal join properties (Spark vs a brute-force python reference) ---
+
+import datetime as _dt
+
+from data_quality_autohealer_spark.operators.temporal import (
+    asof_join, time_range_join,
+)
+
+_key = st.sampled_from(["a", "b", None])
+_sec = st.integers(0, 20)
+
+
+def _t(s):
+    return _dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@given(st.lists(st.tuples(_key, _sec), min_size=1, max_size=10),
+       st.lists(st.tuples(_key, _sec), min_size=0, max_size=15))
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_brute_force(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(i, k, _t(s)) for i, (k, s) in enumerate(lrows)],
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, _t(s), i, float(i)) for i, (k, s) in enumerate(rrows)],
+        "k string, ts timestamp, rid long, val double")
+    got = {r["lid"]: r["rid_asof"]
+           for r in asof_join(left, right, on=["k"], left_ts="ts",
+                              right_ts="ts", payload=["rid", "val"],
+                              tie_col="rid").collect()}
+    for i, (k, s) in enumerate(lrows):
+        cands = [(rs, j) for j, (rk, rs) in enumerate(rrows)
+                 if rk == k and rk is not None and rs <= s]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, s, cands)
+
+
+@given(st.lists(st.tuples(_key, _sec), min_size=1, max_size=8),
+       st.lists(st.tuples(_key, _sec), min_size=0, max_size=12),
+       st.integers(1, 7))
+@settings(max_examples=8, deadline=None)
+def test_time_range_join_matches_brute_force_property(spark, lrows, rrows,
+                                                      win):
+    left = spark.createDataFrame(
+        [(i, k, _t(s)) for i, (k, s) in enumerate(lrows)],
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, _t(s), i) for i, (k, s) in enumerate(rrows)],
+        "k string, ts timestamp, rid long")
+    got = {(r["lid"], r["rid_r"])
+           for r in time_range_join(left, right, on=["k"], left_ts="ts",
+                                    right_ts="ts", window_sec=win,
+                                    right_cols=["rid"]).collect()}
+    want = {(i, j)
+            for i, (lk, ls) in enumerate(lrows)
+            for j, (rk, rs) in enumerate(rrows)
+            if lk == rk and lk is not None and abs(ls - rs) <= win}
+    assert got == want
