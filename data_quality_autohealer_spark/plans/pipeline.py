@@ -160,8 +160,18 @@ def run_filter(
     scored = scored.select(*needed)
     scored = scored.persist(getattr(StorageLevel, storage_level))
     try:
+        # an 'und' CLAIM (WARC ingest: unlabeled pages) adopts the model's
+        # predicted language in the clean table, so downstream per-lang
+        # curation (export mixtures, severity censuses) sees real languages;
+        # labeled corpora pass through untouched
+        lang_out = F.col("lang")
+        if "lang_pred" in scored.columns:
+            lang_out = (F.when((F.col("lang") == "und")
+                               & (F.col("lang_pred") != "und"),
+                               F.col("lang_pred"))
+                        .otherwise(F.col("lang")))
         kept = scored.where(F.col("keep")).select(
-            "url", "warc_ts", "lang", "bucket",
+            "url", "warc_ts", lang_out.alias("lang"), "bucket",
             F.col("scrubbed_text").alias("text"),
             F.array_join("reasons", ",").alias("reasons_csv"),
         )

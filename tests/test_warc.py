@@ -123,6 +123,13 @@ def test_warc_ingest_cli_end_to_end(spark, tmp_path):
     kept = scored.where("keep").count()
     assert 0 < kept <= 120  # extracted text flows through the real filter
 
+    # run the full filter: the clean table must ADOPT predicted languages
+    # for the 'und'-claimed WARC pages (per-lang curation depends on it)
+    from data_quality_autohealer_spark.plans.pipeline import run_filter
+    run_filter(wh, "warc-r1")
+    langs = {r["lang"] for r in wh.read_clean().select("lang").collect()}
+    assert langs and "und" not in langs
+
 
 def test_fractional_second_dates_and_html_is_body(spark, tmp_path):
     """WARC 1.1 fractional-second dates parse (truncated, not NULL) and
