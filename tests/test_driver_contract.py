@@ -1,0 +1,35 @@
+"""Guards on the __spark_entry__ driver contract itself: registry shape,
+oracle coverage, and that every oracle SQL string at least PARSES in DuckDB
+against the real table schemas (catching dialect typos without running)."""
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from tools.check_oracle import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registry_shape():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q), "oracle entries without a query"
+    rows_only = [k for k in q if k not in o]
+    # every rows-only entry is an approx/model/ANN/multimodal op; keep the
+    # LAST registry slot rows-only — the round-2 driver dropped the final
+    # entry's correctness row, so the sacrificial slot must stay sacrificial
+    assert list(q)[-1] in rows_only
+    # oracle-checked majority: the gate's strength comes from hash checks
+    assert len(o) >= 50
+
+
+def test_every_oracle_sql_parses_in_duckdb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            con.execute(f"explain {sql}")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle SQL for {name} failed: {e}") from e
