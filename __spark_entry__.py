@@ -767,16 +767,21 @@ _NEARDUP_COS = 0.30
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    # embedding-cosine near-dup pairs, blocked by label (same-label self-join)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    # embedding-cosine near-dup pairs, blocked by label (same-label
+    # self-join). Norms are staged per VECTOR before the join — the same
+    # sequential fold the twin computes, run once per vector instead of
+    # twice per pair (values identical; ~2.5x less interpreted fold work)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "label",
+                   F.expr("transform(embedding, x -> cast(x as double))")
+                   .alias("v"))
+           .withColumn("nrm", F.expr(
+               "sqrt(aggregate(transform(v, x -> x * x), "
+               "cast(0.0 as double), (acc, x) -> acc + x))")))
     a, b = emb.alias("a"), emb.alias("b")
     dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
            "cast(0.0 as double), (acc, x) -> acc + x)")
-    nrm = ("sqrt(aggregate(transform({s}.v, x -> x * x), "
-           "cast(0.0 as double), (acc, x) -> acc + x))")
-    cos = f"round(({dot}) / ({nrm.format(s='a')} * {nrm.format(s='b')}), 6)"
+    cos = f"round(({dot}) / (a.nrm * b.nrm), 6)"
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("id_a"),
