@@ -711,6 +711,91 @@ def _q_token_count_bpe(spark, sf_dir):
     )
 
 
+def _q_readability(spark, sf_dir):
+    # Flesch-Kincaid-style grade from cheap proxies (vowel-group syllables,
+    # terminal-punct sentences) — the readability band filter corpus
+    # pipelines apply. Single-division arithmetic over per-doc INTEGER
+    # counts: identical doubles in both engines, no accumulation order.
+    clean = th._spark_clean("text")
+    df = (_docs(spark, sf_dir)
+          .withColumn("_w", F.expr(th._spark_words("text")))
+          .withColumn("_wc", F.expr(
+              f"cast(case when {clean} = '' then 0 else size(_w) end"
+              " as bigint)"))
+          .withColumn("_syl", F.regexp_count(
+              F.col("text"), F.lit("[aeiouyAEIOUY]+")).cast("bigint"))
+          .withColumn("_sent", F.greatest(
+              F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1))
+              .cast("bigint")))
+    fk = ("round(cast('0.39' as double) * _wc / _sent"
+          " + cast('11.8' as double) * _syl / greatest(_wc, 1)"
+          " - cast('15.59' as double), 6)")
+    return df.selectExpr("doc_id", "_wc as n_words", "_syl as n_syllables",
+                         "_sent as n_sentences", f"{fk} as fk_grade")
+
+
+def _oracle_readability() -> str:
+    fk = ("round(cast('0.39' as double) * _wc / _sent"
+          " + cast('11.8' as double) * _syl / greatest(_wc, 1)"
+          " - cast('15.59' as double), 6)")
+    return f"""
+        with w as (
+            select doc_id,
+                   cast(case when {th._duck_clean('text')} = '' then 0
+                        else len({th._duck_words('text')}) end as bigint)
+                       as _wc,
+                   cast(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        as bigint) as _syl,
+                   cast(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                        as bigint) as _sent
+            from documents
+        )
+        select doc_id, _wc as n_words, _syl as n_syllables,
+               _sent as n_sentences, {fk} as fk_grade
+        from w
+    """
+
+
+def _q_lang_agreement(spark, sf_dir):
+    # claimed-label vs stopword-heuristic confusion census: the label-noise
+    # estimate a curation pipeline tracks per snapshot. Integer counts only.
+    return (_docs(spark, sf_dir)
+            .selectExpr("lang", f"{_langid_heur_case('spark')} as lang_heur")
+            .groupBy("lang", "lang_heur")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def _oracle_lang_agreement() -> str:
+    return f"""
+        select lang, {_langid_heur_case('duck')} as lang_heur,
+               cast(count(*) as bigint) as n
+        from documents group by 1, 2
+    """
+
+
+def _q_pii_density_by_source(spark, sf_dir):
+    # per-source PII/toxicity census over the portable scrub patterns
+    # (Java/RE2/Python-identical by the scrub module's contract) — the
+    # domain-level signal for scrubbing-cost and policy decisions.
+    # All-integer output: no rounding surface at all.
+    pats = list(scrub_mod.PII_PATTERNS) + [
+        ("tox", scrub_mod.TOX_PATTERN, None)]
+    aggs = [F.sum(F.regexp_count(F.col("text"), F.lit(pat)))
+            .cast("long").alias(f"n_{name}") for name, pat, _ in pats]
+    return (_docs(spark, sf_dir).groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"), *aggs))
+
+
+def _oracle_pii_density() -> str:
+    pats = list(scrub_mod.PII_PATTERNS) + [
+        ("tox", scrub_mod.TOX_PATTERN, None)]
+    cols = ", ".join(
+        f"cast(sum(len(regexp_extract_all(text, '{pat}'))) as bigint)"
+        f" as n_{name}" for name, pat, _ in pats)
+    return (f"select source, cast(count(*) as bigint) as n_docs, {cols} "
+            f"from documents group by source")
+
+
 _PACK_WINDOW = 2048
 _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -1123,7 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_neardup": _q_semantic_neardup,
         "sequence_pack": _q_sequence_pack,
-        "punct_stats": _q_punct_stats,
+        "readability": _q_readability,
+        "lang_agreement": _q_lang_agreement,
+        "pii_density_by_source": _q_pii_density_by_source,
+    "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
         "winsorize_lineitem": _q_winsorize,
@@ -1445,6 +1533,9 @@ def oracle_sql() -> dict[str, str]:
             k=_KMEANS_K, iters=_KMEANS_ITERS),
         "semantic_neardup": _oracle_semantic_neardup(),
         "sequence_pack": _oracle_sequence_pack(),
+        "readability": _oracle_readability(),
+        "lang_agreement": _oracle_lang_agreement(),
+        "pii_density_by_source": _oracle_pii_density(),
         "punct_stats": f"""
             select doc_id,
                    len(regexp_extract_all(text, '[.!?]'))::bigint
