@@ -186,16 +186,19 @@ _LANG_STOPS = {
 }
 
 
-def _stop_count(engine: str, lang: str) -> str:
-    # canonical ASCII-whitespace tokenizer (shared with text_heuristics)
+def _stop_count(engine: str, lang: str, words: str | None = None) -> str:
+    # canonical ASCII-whitespace tokenizer (shared with text_heuristics);
+    # pass a staged ``words`` column on the Spark side so the split runs
+    # once per row instead of once per language (CLAUDE.md staging rule)
     lst = ", ".join(f"'{w}'" for w in _LANG_STOPS[lang])
     if engine == "spark":
-        return f"size(filter({th._spark_words('text')}, w -> w in ({lst})))"
+        w = words or th._spark_words("text")
+        return f"size(filter({w}, w -> w in ({lst})))"
     return f"len(list_filter({th._duck_words('text')}, w -> w in ({lst})))"
 
 
-def _langid_heur_case(engine: str) -> str:
-    s = {lg: _stop_count(engine, lg) for lg in _LANG_STOPS}
+def _langid_heur_case(engine: str, words: str | None = None) -> str:
+    s = {lg: _stop_count(engine, lg, words) for lg in _LANG_STOPS}
     return (
         f"case when {s['en']} >= {s['de']} and {s['en']} >= {s['fr']} "
         f"and {s['en']} >= {s['es']} then 'en' "
@@ -205,8 +208,10 @@ def _langid_heur_case(engine: str) -> str:
 
 
 def _q_langid_stopword(spark, sf_dir):
-    return _docs(spark, sf_dir).selectExpr(
-        "doc_id", f"{_langid_heur_case('spark')} as lang_heur")
+    return (_docs(spark, sf_dir)
+            .withColumn("_w", F.expr(th._spark_words("text")))
+            .selectExpr("doc_id",
+                        f"{_langid_heur_case('spark', '_w')} as lang_heur"))
 
 
 def _q_fingerprint(spark, sf_dir):
@@ -760,7 +765,9 @@ def _q_lang_agreement(spark, sf_dir):
     # claimed-label vs stopword-heuristic confusion census: the label-noise
     # estimate a curation pipeline tracks per snapshot. Integer counts only.
     return (_docs(spark, sf_dir)
-            .selectExpr("lang", f"{_langid_heur_case('spark')} as lang_heur")
+            .withColumn("_w", F.expr(th._spark_words("text")))
+            .selectExpr("lang",
+                        f"{_langid_heur_case('spark', '_w')} as lang_heur")
             .groupBy("lang", "lang_heur")
             .agg(F.count("*").cast("long").alias("n")))
 
@@ -1211,7 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "lang_agreement": _q_lang_agreement,
         "pii_density_by_source": _q_pii_density_by_source,
-    "punct_stats": _q_punct_stats,
+        "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
         "winsorize_lineitem": _q_winsorize,

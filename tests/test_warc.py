@@ -144,3 +144,22 @@ def test_fractional_second_dates_and_html_is_body(spark, tmp_path):
     html = bytes(row["html"])
     assert html.startswith(b"<html>")      # header block stripped
     assert b"HTTP/1.1" not in html
+
+
+def test_validate_after_warc_run_stays_ok(spark, tmp_path):
+    """Adopted languages must not destabilize validation: re-scoring the
+    clean table (which now carries predicted langs, so the en-stopword and
+    langid rules CAN newly apply) keeps the re-drop rate at ~0."""
+    import jobs.run_warc_ingest as ingest
+    from data_quality_autohealer_spark.plans.pipeline import (
+        run_filter, validate_run,
+    )
+    from data_quality_autohealer_spark.warehouse import Warehouse
+
+    ingest.main(["--warc", str(tmp_path / "crawl"),
+                 "--warehouse", str(tmp_path / "wh"), "--num-buckets", "4",
+                 "--synth-segments", "2", "--docs-per-segment", "150"])
+    wh = Warehouse(spark, str(tmp_path / "wh"), num_buckets=4)
+    run_filter(wh, "w1")
+    v = validate_run(wh, "w1")
+    assert v["status"] == "ok" and v["revalidation_drop_rate"] <= 0.02
