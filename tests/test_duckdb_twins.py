@@ -21,7 +21,8 @@ SUBSET = [
     "simhash", "pii_scrub", "knn_cosine_topk", "token_count_bpe",
     "asof_join_events", "time_range_join_events", "lexical_diversity",
     "domain_quality", "snapshot_delta", "cross_corpus_neardup",
-    "kmeans_embeddings",
+    "kmeans_embeddings", "sequence_pack", "readability", "lang_agreement",
+    "pii_density_by_source",
 ]
 
 
