@@ -1194,8 +1194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "profile_documents": _q_profile_documents,
         "outlier_iqr_lineitem": _q_outlier_iqr,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
         "profile_events": _q_missing_events,
         "distribution_shift_events": _q_dist_shift_events,
         "knn_cosine_topk": _q_knn_cosine,
@@ -1221,22 +1219,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
+        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
+        "neardup_groups": _q_neardup_groups,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        # --- slots 46-50: rotated INTO the driver's 50-row correctness
+        # window this round (the gate records only the first 50 registry
+        # entries; these 7 were oracle-green locally in r03 but had no
+        # driver-witnessed row — VERDICT r03 task #1). The 7 TPC-style
+        # queries they displaced (below, slots 51+) all carry green
+        # CORRECTNESS_r03 driver rows already; rotate per round.
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "contamination_check": _q_contamination_check,
+        "embedding_neardup_groups": _q_embedding_neardup_groups,
+        "pipeline_heuristic_decision": _q_pipeline_heuristic,
+        "stratified_sample": _q_stratified_sample,
+        "quality_strata": _q_quality_strata,
+        "top_terms_per_lang": _q_top_terms_per_lang,
+        # --- slots 51+: driver-witnessed green in r03, parked outside the
+        # 50-row window (still oracle-checked by tools/check_oracle.py and
+        # the in-suite twin subset)
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
         "winsorize_lineitem": _q_winsorize,
         "type_coercion_events": _q_type_coercion,
         "top_order_per_customer": _q_top_order_per_customer,
         "shipping_priority": _q_shipping_priority,
         "rollup_order_priority": _q_rollup_order_priority,
-        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
-        "neardup_groups": _q_neardup_groups,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "contamination_check": _q_contamination_check,
-        "embedding_neardup_groups": _q_embedding_neardup_groups,
-        "pipeline_heuristic_decision": _q_pipeline_heuristic,
         "pipeline_full_decision": _q_pipeline_full,
-        "stratified_sample": _q_stratified_sample,
-        "quality_strata": _q_quality_strata,
-        "top_terms_per_lang": _q_top_terms_per_lang,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,

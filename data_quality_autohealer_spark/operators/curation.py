@@ -64,8 +64,11 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     independent sample; rates are exact on the 10^-6 grid."""
     frac = _hash_frac_sql(id_col, salt, "spark")
     rate = _rate_case_sql(strata_col, rates, default_rate)
+    # filter on the STAGED column (one md5+conv pass per row, the repo's
+    # stage-and-reference convention); round(frac, 6) == frac exactly since
+    # frac already lives on the 1e-6 grid, so the predicate is unchanged
     return (df.withColumn("sample_frac", F.expr(f"round({frac}, 6)"))
-            .where(F.expr(f"{frac} < {rate}")))
+            .where(F.expr(f"sample_frac < {rate}")))
 
 
 def duckdb_stratified_sample_sql(table: str, rates: dict[str, float],

@@ -49,7 +49,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     lcols = left.columns
     # rows with NULL join keys never match in the DuckDB twin's equi-join;
     # drop them from the right side so Spark's window (which groups NULL
-    # keys into one partition) agrees: NULL-key left rows stay unmatched
+    # keys into one partition) agrees: NULL-key left rows stay unmatched.
+    # NULL right_ts likewise: the twin's right_ts <= left_ts never matches
+    # NULL, but Spark sorts a NULL _ts FIRST in the window, where its
+    # packed _match could be adopted by a left row with no other prior
+    # right row — drop those rows for the same reason.
+    right = right.where(F.col(right_ts).isNotNull())
     for k in on:
         right = right.where(F.col(k).isNotNull())
     pack = F.struct(F.col(right_ts).alias("_mts"),
@@ -125,6 +130,10 @@ def time_range_join(left: DataFrame, right: DataFrame, on: list[str],
     pure equi-join on (key, coarse time bucket) plus the exact predicate.
     Self-pairs (identical row on both sides) are the caller's concern."""
     w = int(window_sec)
+    if w < 1:
+        # the bucket-overlap proof assumes whole-second windows; w == 0
+        # would silently divide-by-zero into NULL buckets (empty join)
+        raise ValueError(f"window_sec must be >= 1 second, got {window_sec}")
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / w)
     l = left.withColumn("_b", lb)

@@ -104,7 +104,13 @@ def create_app(spark):
         wh = Warehouse(spark, wh_path)
 
         def gen():
-            seen: set = set()
+            # per-connection dedup: keyed on the FULL alert payload (not just
+            # run/bucket) so a re-alert for the same bucket with a changed
+            # severity or drop_rate is pushed as a fresh event; bounded to
+            # the most recent runs so long-lived connections don't grow the
+            # set without limit
+            seen: dict = {}  # key -> run_id (insertion-ordered)
+            max_runs = 64
             tick = 0
             while True:
                 tick += 1
@@ -116,10 +122,17 @@ def create_app(spark):
                     return
                 fresh = False
                 for r in rows:
-                    key = (r["run_id"], r["bucket"])
+                    key = (r["run_id"], r["bucket"],
+                           r["severity"], r["drop_rate"])
                     if key in seen:
                         continue
-                    seen.add(key)
+                    seen[key] = r["run_id"]
+                    run_ids = list(dict.fromkeys(seen.values()))
+                    if len(run_ids) > max_runs:
+                        stale = set(run_ids[:-max_runs])
+                        for k in [k for k, rid in seen.items()
+                                  if rid in stale]:
+                            del seen[k]
                     fresh = True
                     yield ("event: alert\ndata: "
                            + _json.dumps(_alert_payload(r)) + "\n\n")
