@@ -457,6 +457,21 @@ def _q_semantic_neardup(spark, sf_dir):
             .where(F.col("cosine_sim") >= _NEARDUP_COS))
 
 
+def _q_semantic_neardup_fast(spark, sf_dir):
+    # PRODUCTION SemDeDup chain (rows-only): k-means assignment via the
+    # pandas-UDF GEMM kernel (clustering._assign_gemm) + per-cluster
+    # chunked-GEMM cosine pairs (similarity.embedding_near_dup_pairs_fast)
+    # — the same math as the oracle-checked semantic_neardup with BLAS
+    # matmuls replacing every interpreted 64-dim fold. Pair-set equality
+    # with the oracle chain is asserted in tests/test_clustering.py.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clusters = clustering.kmeans_assign(emb, k=_KMEANS_K,
+                                        iters=_KMEANS_ITERS, gemm=True)
+    blocked = emb.select("vec_id", "embedding").join(clusters, "vec_id")
+    return similarity.embedding_near_dup_pairs_fast(
+        blocked, _NEARDUP_COS, block_col="cluster")
+
+
 def _oracle_semantic_neardup() -> str:
     ctes = clustering.duckdb_kmeans_ctes(k=_KMEANS_K, iters=_KMEANS_ITERS)
     return f"""
@@ -1170,6 +1185,17 @@ def _q_quality_strata(spark, sf_dir):
     return curation.quality_strata(df, "word_count", n_tiles=4)
 
 
+def _q_quality_strata_approx(spark, sf_dir):
+    # the SCALE path for quality stratification (rows-only): percentile_
+    # approx cut points + shuffle-free per-row bucket lookup — no global
+    # ntile window, no single-partition sort (the exact quality_strata
+    # query stays registered as the oracle twin)
+    from data_quality_autohealer_spark.operators import curation
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    return curation.quality_strata(df, "word_count", n_tiles=4,
+                                   exact_ntile=False)
+
+
 def _q_top_terms_per_lang(spark, sf_dir):
     # per-language vocabulary census: explode -> map-side-combined count ->
     # per-group top-k window
@@ -1250,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
+        "semantic_neardup_fast": _q_semantic_neardup_fast,
+        "quality_strata_approx": _q_quality_strata_approx,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,

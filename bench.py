@@ -49,6 +49,15 @@ HEADLINE = [
     "time_range_join_events",
     "cross_corpus_neardup",
     "domain_quality",
+    # heavy tail (VERDICT r03 #4): the most expensive queries must be
+    # tracked round-over-round or regressions there are invisible
+    "kmeans_embeddings",
+    "semantic_neardup",
+    "semantic_neardup_fast",
+    "sequence_pack",
+    "stratified_sample",
+    "quality_strata_approx",
+    "snapshot_delta",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

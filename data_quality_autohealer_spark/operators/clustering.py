@@ -20,12 +20,17 @@ row — centroids ride inside the expression, the plan-level equivalent of
 a broadcast) + ONE groupBy(cluster) aggregate whose result is k×(dim+1)
 values — the same bounded driver fence as the IVF partials
 (similarity.py). No shuffle of the embedding column beyond the k-row agg.
-At extreme dim×k, swap the interpreted fold for the pandas-UDF GEMM path
-(similarity.py) — assignments are identical, only the oracle twin is lost.
+At extreme dim×k, pass ``gemm=True``: the assignment runs as a pandas-UDF
+BLAS matmul (same init, same rounded JVM-side centroid update) —
+assignments verified identical on real data, only the oracle twin is lost.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,11 +77,45 @@ def _assign(pts: DataFrame, cents: list[list[float]]) -> DataFrame:
     return df.withColumn("cluster", cl.cast("int")).drop(*d.keys())
 
 
+def _assign_gemm(pts: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """GEMM twin of :func:`_assign` — the SCALE kernel for large dim×k.
+
+    argmin_j ||v - c_j||² computed as ||v||² − 2·(M @ Cᵀ) + ||c_j||² in one
+    BLAS matmul per Arrow batch (centroids ride in the closure, materialized
+    once per worker). np.argmin returns the FIRST minimum, matching the
+    exact path's tie-to-lowest-cluster case chain; the float64 accumulation
+    order differs from the sequential fold, so a flip needs two centroids
+    equidistant to ~1e-12 — asserted identical on real data in
+    tests/test_clustering.py.
+    """
+    c = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    cn = (c * c).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _argmin(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            d = ((m * m).sum(axis=1)[:, None]
+                 - 2.0 * (m @ c.T) + cn[None, :])
+            yield pd.Series(d.argmin(axis=1).astype("int32"),
+                            index=vecs.index)
+
+    return pts.withColumn("cluster", _argmin(F.col("_v")))
+
+
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id", gemm: bool = False) -> DataFrame:
     """(id, cluster) after ``iters`` Lloyd iterations from the
-    smallest-id init. See module docstring for the determinism contract."""
+    smallest-id init. See module docstring for the determinism contract.
+
+    ``gemm=True`` swaps the interpreted sequential-fold assignment for the
+    pandas-UDF BLAS kernel (:func:`_assign_gemm`): same smallest-id init,
+    same JVM-side rounded-mean centroid update (so centroids stay
+    bit-identical while assignments agree), ~10× less interpreter work per
+    row — the production path; the fold path remains the oracle twin.
+    """
+    assign = _assign_gemm if gemm else _assign
     pts = df.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"))
@@ -84,7 +123,7 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     cents = [list(r["_v"]) for r in init]
     dim = len(cents[0])
     for _ in range(iters):
-        assigned = _assign(pts, cents)
+        assigned = assign(pts, cents)
         rows = (assigned.groupBy("cluster")
                 .agg(*[F.round(F.avg(F.col("_v")[i]), 6).alias(f"m{i}")
                        for i in range(dim)])
@@ -94,7 +133,7 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
         by_cluster = {r["cluster"]: [r[f"m{i}"] for i in range(dim)]
                       for r in rows}
         cents = [by_cluster[j] for j in range(k)]
-    return _assign(pts, cents).select(id_col, "cluster")
+    return assign(pts, cents).select(id_col, "cluster")
 
 
 def duckdb_kmeans_ctes(table: str = "embeddings", k: int = 8,

@@ -12,9 +12,10 @@ Scale shapes:
   compare): shuffle-free, trivially partition-parallel, and REPRODUCIBLE —
   the same (salt, id) always lands on the same side, so re-runs and
   resumed jobs select the identical sample without coordination.
-- ``quality_strata`` uses one global ntile window (single range shuffle at
-  ~16 B/doc) — at 10^12 rows swap the exact ntile for percentile_approx
-  cut points (the documented A2/A8 pattern) and a per-row bucket lookup.
+- ``quality_strata`` keeps the exact global-ntile window ONLY as the
+  oracle twin (it sorts on a single partition); ``exact_ntile=False`` is
+  the scale path — percentile_approx cut points (one agg, bounded driver
+  fence) + a shuffle-free per-row bucket lookup, the A2/A8 pattern.
 - ``top_terms_per_group`` explodes words (the one genuinely token-volume
   shuffle here) but Spark's hash aggregate does map-side partial counts,
   so shuffle volume is O(distinct (group, word)) per partition, not
@@ -84,14 +85,36 @@ def duckdb_stratified_sample_sql(table: str, rates: dict[str, float],
 
 
 def quality_strata(df: DataFrame, score_col: str, n_tiles: int = 4,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   exact_ntile: bool = True) -> DataFrame:
     """ntile quality stratification + per-stratum census (the curation
-    step that feeds mixture weights): deterministic tie-break on id."""
-    from pyspark.sql.window import Window
+    step that feeds mixture weights): deterministic tie-break on id.
 
-    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    return (df.withColumn("stratum", F.ntile(n_tiles).over(w))
-            .groupBy("stratum")
+    ``exact_ntile=True`` is the ORACLE twin: a global ntile window —
+    exactly equal-count tiles, but Spark sorts the whole frame on ONE
+    partition (its own WindowExec WARN). ``exact_ntile=False`` is the
+    SCALE path (the A2/A8 exact→approx swap): one ``percentile_approx``
+    aggregate yields n_tiles−1 cut points (a bounded driver fence), then a
+    shuffle-free per-row bucket lookup + the same census agg. Tile counts
+    become approximate (value-bucketing: boundary ties land together) —
+    the right trade at 10^12 rows, where a single-reducer sort is not.
+    """
+    if exact_ntile:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        tiled = df.withColumn("stratum", F.ntile(n_tiles).over(w))
+    else:
+        qs = [i / n_tiles for i in range(1, n_tiles)]
+        cuts = df.select(F.percentile_approx(
+            score_col, qs, 10_000).alias("c")).first()["c"]
+        # bucket b (1-based) = first cut the score does not exceed;
+        # scores above every cut land in the top tile
+        b = F.lit(n_tiles)
+        for i in range(n_tiles - 2, -1, -1):
+            b = F.when(F.col(score_col) <= F.lit(cuts[i]), i + 1).otherwise(b)
+        tiled = df.withColumn("stratum", b.cast("int"))
+    return (tiled.groupBy("stratum")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min(score_col).alias("min_score"),
                  F.max(score_col).alias("max_score"))

@@ -72,6 +72,14 @@ class DecoderRegistry:
     def get(cls, kind: str) -> Callable[[bytes], dict]:
         return cls._decoders[kind]
 
+    @classmethod
+    def has_real_codec(cls) -> bool:
+        """True once any real media decoder replaced a `_decode_real` stub
+        (the fake-image test decoder doesn't count): plan decisions that
+        only pay off for real kernels key off this."""
+        return any(fn is not _decode_real and kind != "fake-image"
+                   for kind, fn in cls._decoders.items())
+
 
 MEDIA_META_SCHEMA = (
     "media_id bigint, kind string, mime string, n_bytes bigint, "
@@ -179,9 +187,14 @@ def sample_frames(df: DataFrame, every_n: int = 4,
 
 def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage plumbing: routes each blob through the registered decoder
-    + a resize kernel. The kernel is stubbed (NotImplementedError surfaces as
-    decode_ok=false); the distribution strategy — repartition by media_id so
-    hot partitions split, blob stays in Arrow — is the real deliverable."""
-    meta = extract_media_metadata(df.repartition("media_id"))
+    + a resize kernel (NotImplementedError surfaces as decode_ok=false).
+
+    The media_id repartition (splitting hot partitions before a CPU-bound
+    kernel) only pays when a REAL codec is registered — while the kernel is
+    a stub it would shuffle the heaviest column for nothing, so the plan
+    stays narrow (zero Exchange; asserted in tests/test_operators.py)."""
+    src = (df.repartition("media_id")
+           if DecoderRegistry.has_real_codec() else df)
+    meta = extract_media_metadata(src)
     return meta.withColumn("target_width", F.lit(target_w)) \
                .withColumn("target_height", F.lit(target_h))

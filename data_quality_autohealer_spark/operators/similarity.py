@@ -249,15 +249,22 @@ def lsh_ann_topk(df: DataFrame, query: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  probe_hamming: int = 1) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    ``probe_hamming`` bit flips of the query's bucket (multi-probe)."""
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe).
+    Probed buckets = sum_{j<=h} C(n_planes, j); recall-vs-cost curves on
+    the real table live in tests/test_operators.py."""
+    from itertools import combinations
+
     dim = len(query)
     planes = _planes(dim, n_planes, seed)
     qsig = (np.asarray(query, dtype=np.float64) @ planes) > 0
     qbucket = int((qsig @ (1 << np.arange(n_planes))).item())
     probes = {qbucket}
-    if probe_hamming >= 1:
-        for b in range(n_planes):
-            probes.add(qbucket ^ (1 << b))
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(qbucket ^ flip)
     bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
     cand = bucketed.where(F.col("lsh_bucket").isin(sorted(probes)))
     scored = cand.select(

@@ -151,7 +151,11 @@ def write_warc_file(records: Iterable[dict], path: str,
                 f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("utf-8")
             blob = head + payload + b"\r\n\r\n"
-            f.write(gzip.compress(blob) if gzip_per_record else blob)
+            # mtime=0: gzip otherwise stamps wall-clock time into the
+            # member header, making byte-identical records produce
+            # different files on every run (breaks fixture determinism)
+            f.write(gzip.compress(blob, mtime=0) if gzip_per_record
+                    else blob)
             n += 1
     return n
 

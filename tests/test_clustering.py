@@ -67,3 +67,42 @@ def test_real_embeddings_objective_decreases(spark):
         return total
 
     assert sse(2) < sse(0)
+
+
+def test_gemm_assignment_matches_fold(spark):
+    """The production GEMM kernel (gemm=True) must reproduce the oracle
+    path's assignments exactly on the real embeddings table — same init,
+    same rounded centroid updates, argmin ties to the lowest cluster."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["vec_id"]: r["cluster"]
+             for r in kmeans_assign(emb, k=8, iters=2).collect()}
+    fast = {r["vec_id"]: r["cluster"]
+            for r in kmeans_assign(emb, k=8, iters=2, gemm=True).collect()}
+    assert exact == fast
+
+
+def test_gemm_tie_breaks_to_lowest_cluster(spark):
+    # identical init points -> exactly tied distances; np.argmin must take
+    # the first (lowest) cluster, emptying cluster 1 -> loud failure, the
+    # same contract as the fold path
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.2, 1.0]),
+            (3, [0.9, 1.1])]
+    with pytest.raises(KMeansEmptyCluster):
+        kmeans_assign(_pts(spark, rows), k=2, iters=1, gemm=True)
+
+
+def test_semantic_neardup_fast_matches_oracle_chain(spark):
+    """Full-chain equality: GEMM k-means blocking + chunked-GEMM cosine
+    pairs produce the identical pair set (and 6dp sims) as the
+    oracle-checked interpreted chain."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in qs["semantic_neardup"](spark, sf).collect()}
+    fast = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in qs["semantic_neardup_fast"](spark, sf).collect()}
+    assert set(exact) == set(fast) and len(exact) > 0
+    for pair, sim in exact.items():
+        assert abs(sim - fast[pair]) <= 1e-6

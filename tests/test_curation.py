@@ -76,3 +76,27 @@ def test_top_terms_shape_and_map_side_combine(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan
+
+
+def test_quality_strata_approx_parity_and_no_window(spark):
+    """The scale path (percentile_approx cut points + per-row bucket
+    lookup) must census the same strata as the exact global-ntile twin at
+    test scale, with NO Window node (the exact path's single-partition
+    sort is what it exists to remove)."""
+    df = spark.range(1003).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 997).cast("int").alias("score"))
+    exact = curation.quality_strata(df, "score", n_tiles=4).collect()
+    approx = curation.quality_strata(df, "score", n_tiles=4,
+                                     exact_ntile=False)
+    rows = approx.collect()
+    assert [r["stratum"] for r in rows] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == 1003
+    # value-bucketing vs count-bucketing: counts agree up to boundary ties
+    # (1003 rows over 0..996 -> at most 2 docs per value)
+    for e, a in zip(exact, rows):
+        assert abs(e["n_docs"] - a["n_docs"]) <= 4
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_score"] <= hi["min_score"]
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -163,3 +163,20 @@ def test_validate_after_warc_run_stays_ok(spark, tmp_path):
     run_filter(wh, "w1")
     v = validate_run(wh, "w1")
     assert v["status"] == "ok" and v["revalidation_drop_rate"] <= 0.02
+
+
+def test_write_warc_file_byte_deterministic(tmp_path):
+    """Fixture stability: identical records must produce byte-identical
+    .warc.gz files across runs (gzip member mtime pinned to 0) — the
+    executor-side synth_segments writer relies on this."""
+    from data_quality_autohealer_spark.sources.warc import write_warc_file
+
+    recs = [{"warc_type": "response", "url": "http://e.com/a",
+             "warc_date": "2026-01-01T00:00:00Z",
+             "record_id": "<urn:uuid:0-0>",
+             "content_type": "application/http; msgtype=response",
+             "payload": b"HTTP/1.1 200 OK\r\n\r\nhello"}]
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc_file(recs, p1, gzip_per_record=True)
+    write_warc_file(recs, p2, gzip_per_record=True)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
