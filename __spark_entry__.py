@@ -1185,6 +1185,36 @@ def _q_quality_strata(spark, sf_dir):
     return curation.quality_strata(df, "word_count", n_tiles=4)
 
 
+def _q_line_dedup(spark, sf_dir):
+    # C4-style corpus-level line dedup (boilerplate removal): lines
+    # appearing in >= 2 distinct docs are dropped, docs rebuilt in order.
+    # Round-4 addition — SURVEY §2.13.
+    return dedup.line_dedup(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_TOKEN_BUDGETS = {"en": 2000, "de": 1000, "fr": 1000}
+_TOKEN_BUDGET_DEFAULT = 500
+
+
+def _q_token_budget_sample(spark, sf_dir):
+    # training mixes are specified in TOKENS, not docs: deterministic
+    # hash-ordered per-lang selection up to a token budget (whole docs).
+    # Round-4 addition — SURVEY §2.13.
+    from data_quality_autohealer_spark.operators import curation
+    df = th.with_signal_columns(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text"), "text")
+    return curation.token_budget_sample(
+        df, _TOKEN_BUDGETS, default_budget=_TOKEN_BUDGET_DEFAULT)
+
+
+def _oracle_token_budget_sample() -> str:
+    from data_quality_autohealer_spark.operators import curation
+    wc = th.duckdb_signal_sql("text")["word_count"]
+    src = (f"(select doc_id, lang, {wc} as word_count from documents)")
+    return curation.duckdb_token_budget_sql(
+        src, _TOKEN_BUDGETS, default_budget=_TOKEN_BUDGET_DEFAULT)
+
+
 def _q_quality_strata_approx(spark, sf_dir):
     # the SCALE path for quality stratification (rows-only): percentile_
     # approx cut points + shuffle-free per-row bucket lookup — no global
@@ -1227,9 +1257,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
-        "json_extract_events": _q_json_extract,
+        # round-4 additions (SURVEY §2.13), placed inside the driver's
+        # 50-row window so they get witnessed rows immediately; the two
+        # displaced queries (json_extract_events, session_windows) carry
+        # green CORRECTNESS_r03 rows and moved to slots 51+
+        "line_dedup": _q_line_dedup,
+        "token_budget_sample": _q_token_budget_sample,
         "salted_event_stats": _q_salted_event_stats,
-        "session_windows": _q_session_windows,
         "asof_join_events": _q_asof_join_events,
         "time_range_join_events": _q_time_range_join_events,
         "lexical_diversity": _q_lexical_diversity,
@@ -1271,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_customer": _q_top_order_per_customer,
         "shipping_priority": _q_shipping_priority,
         "rollup_order_priority": _q_rollup_order_priority,
+        "json_extract_events": _q_json_extract,
+        "session_windows": _q_session_windows,
         "pipeline_full_decision": _q_pipeline_full,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
@@ -1482,6 +1518,8 @@ def oracle_sql() -> dict[str, str]:
             + " from documents"
         ),
         "simhash": dedup.duckdb_simhash_sql("documents"),
+        "line_dedup": dedup.duckdb_line_dedup_sql("documents"),
+        "token_budget_sample": _oracle_token_budget_sample(),
         "pii_scrub": _oracle_pii_scrub(),
         "profile_documents": _oracle_profile_documents(),
         "outlier_iqr_lineitem": _oracle_outlier_iqr(),

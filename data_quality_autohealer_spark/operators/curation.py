@@ -136,6 +136,75 @@ def duckdb_quality_strata_sql(table: str, score_expr: str,
     """
 
 
+def token_budget_sample(df: DataFrame, budgets: dict[str, int],
+                        token_col: str = "word_count",
+                        strata_col: str = "lang", id_col: str = "doc_id",
+                        default_budget: int = 0,
+                        salt: str = "tb") -> DataFrame:
+    """Deterministic per-stratum doc selection up to a TOKEN budget (the
+    mixture knob real training mixes are specified in — tokens, not docs):
+    docs ordered by the shared hash fraction (reproducible under re-runs /
+    resume, same contract as stratified_sample), kept while the stratum's
+    running token total stays within budget. Whole docs only — the first
+    doc that would overflow the budget is dropped (along with the rest of
+    its stratum order).
+
+    Scale shape: one window per stratum over (frac, id) carrying a bigint
+    cumsum — the sequence_pack shape. Strata are languages (dozens), so
+    per-stratum sorts distribute; a single mega-stratum would need the
+    range-partitioned two-pass cumsum instead.
+    """
+    frac = _hash_frac_sql(id_col, salt, "spark")
+    budget = _rate_case_sql(strata_col, {s: float(b)
+                                         for s, b in budgets.items()},
+                            float(default_budget))
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.expr(f"round({frac}, 6)").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("cum_tokens",
+                          F.sum(F.col(token_col).cast("long")).over(w))
+            .where(F.col("cum_tokens") <= F.expr(budget).cast("long"))
+            .select(id_col, strata_col,
+                    F.col(token_col).cast("long").alias("n_tokens"),
+                    "cum_tokens"))
+
+
+def duckdb_token_budget_sql(table: str, budgets: dict[str, int],
+                            token_expr: str = "word_count",
+                            strata_col: str = "lang",
+                            id_col: str = "doc_id",
+                            default_budget: int = 0,
+                            salt: str = "tb") -> str:
+    frac = _hash_frac_sql(id_col, salt, "duck")
+    budget = _rate_case_sql(strata_col, {s: float(b)
+                                         for s, b in budgets.items()},
+                            float(default_budget))
+    return f"""
+        with t as (
+            select {id_col}, {strata_col},
+                   ({token_expr})::bigint as n_tokens,
+                   round({frac}, 6) as _frac
+            from {table}
+        ),
+        c as (
+            select {id_col}, {strata_col}, n_tokens,
+                   -- DuckDB sum(bigint) over a window yields HUGEINT,
+                   -- which pandas/driver hashing renders as float64 —
+                   -- cast back to match Spark's long
+                   (sum(n_tokens) over (
+                       partition by {strata_col}
+                       order by _frac asc, {id_col} asc
+                       rows between unbounded preceding and current row)
+                   )::bigint as cum_tokens
+            from t
+        )
+        select {id_col}, {strata_col}, n_tokens, cum_tokens
+        from c where cum_tokens <= ({budget})::bigint
+    """
+
+
 def top_terms_per_group(df: DataFrame, text_col: str = "text",
                         group_col: str = "lang", k: int = 10) -> DataFrame:
     """Top-k most frequent whitespace tokens per group (vocabulary census).

@@ -157,6 +157,79 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(w, on=id_col, how="left_semi")
 
 
+def line_dedup(df: DataFrame, min_doc_count: int = 2,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style corpus-level line dedup (boilerplate removal): drop every
+    line whose exact trimmed text occurs in >= ``min_doc_count`` DISTINCT
+    documents (nav bars, cookie banners, footers), then rebuild each
+    document from its surviving lines in original order. Returns
+    (id, text_deduped, n_lines_kept, n_lines_dropped) — every input doc
+    survives, possibly with empty text.
+
+    Scale shape: posexplode lines once; the duplicate census groups on the
+    60-bit md5 base hash (16 B/line shuffle, map-side-combined distinct-doc
+    counts), never on line text; the dup set joins back on the same 8-byte
+    key. Blank lines are never counted as duplicates. Hash collisions are
+    part of the (engine-identical) semantics, as with minhash/_hash_base.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn(
+        "lhash",
+        F.when(F.trim("line") != "",
+               F.expr(_hash_base("trim(line)", "spark"))))
+    dup = (keyed.where(F.col("lhash").isNotNull())
+           .groupBy("lhash")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .where(F.col("nd") >= min_doc_count)
+           .select("lhash", F.lit(True).alias("_dup")))
+    marked = keyed.join(dup, "lhash", "left")
+    kept_struct = F.when(F.col("_dup").isNull(),
+                         F.struct("pos", "line"))
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"]),
+                    "\n").alias("text_deduped"),
+                 F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_lines_kept"),
+                 F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_lines_dropped")))
+
+
+def duckdb_line_dedup_sql(table: str = "documents", min_doc_count: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """Twin: parallel unnests (DuckDB zips equal-length unnests) give
+    (pos, line); same 60-bit trimmed-line hash; string_agg ordered by pos
+    rebuilds (coalesced to '' — string_agg of zero rows is NULL)."""
+    lh = _hash_base("trim(line)", "duck")
+    return f"""
+        with l as (
+            select {id_col}, unnest(generate_series(1, len(ln))) as pos,
+                   unnest(ln) as line
+            from (select {id_col}, string_split({text_col}, chr(10)) as ln
+                  from {table})
+        ),
+        k as (select {id_col}, pos, line,
+                     case when trim(line) <> '' then {lh} end as lhash
+              from l),
+        d as (select lhash from k where lhash is not null
+              group by lhash having count(distinct {id_col}) >= {min_doc_count})
+        select k.{id_col},
+               coalesce(string_agg(case when d.lhash is null then k.line end,
+                                   chr(10) order by k.pos), '')
+                   as text_deduped,
+               count(case when d.lhash is null then 1 end)::bigint
+                   as n_lines_kept,
+               count(d.lhash)::bigint as n_lines_dropped
+        from k left join d on k.lhash = d.lhash
+        group by k.{id_col}
+    """
+
+
 def with_minhash(df: DataFrame, text_col: str = "text", k: int = 8,
                  shingle_n: int = 3) -> DataFrame:
     """Attach sig_0..sig_{k-1} MinHash columns (native exprs, shuffle-free).

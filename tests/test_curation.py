@@ -100,3 +100,35 @@ def test_quality_strata_approx_parity_and_no_window(spark):
         assert lo["max_score"] <= hi["min_score"]
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_token_budget_sample_semantics(spark):
+    """Whole-doc greedy selection under a per-stratum token budget:
+    cumulative total never exceeds the budget, order follows the salted
+    hash fraction, and re-runs select the identical set."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", 10 + (i % 5)) for i in range(200)],
+        "doc_id long, lang string, word_count int")
+    out = curation.token_budget_sample(df, {"en": 120, "de": 60})
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert max(r["cum_tokens"] for r in by_lang["en"]) <= 120
+    assert max(r["cum_tokens"] for r in by_lang["de"]) <= 60
+    # budgets bite: not everything selected, but something is
+    assert 0 < len(rows) < 200
+    # cum_tokens is a proper running sum of n_tokens within each stratum
+    for lang, lr in by_lang.items():
+        lr.sort(key=lambda r: r["cum_tokens"])
+        total = 0
+        for r in lr:
+            total += r["n_tokens"]
+            assert r["cum_tokens"] == total
+    again = {r["doc_id"] for r in
+             curation.token_budget_sample(df, {"en": 120, "de": 60})
+             .collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # unknown stratum with default_budget=0 selects nothing
+    assert curation.token_budget_sample(
+        df.withColumn("lang", F.lit("xx")), {"en": 120}).count() == 0

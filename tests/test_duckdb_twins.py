@@ -22,7 +22,7 @@ SUBSET = [
     "asof_join_events", "time_range_join_events", "lexical_diversity",
     "domain_quality", "snapshot_delta", "cross_corpus_neardup",
     "kmeans_embeddings", "sequence_pack", "readability", "lang_agreement",
-    "pii_density_by_source",
+    "pii_density_by_source", "line_dedup", "token_budget_sample",
 ]
 
 

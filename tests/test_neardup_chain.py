@@ -185,3 +185,28 @@ def test_cross_corpus_never_self_joins_union(spark):
         [(100, "some unrelated reference document about something else")],
         "doc_id long, text string")
     assert dedup.cross_corpus_neardup(new, ref, threshold=0.5).count() == 0
+
+
+def test_line_dedup_removes_boilerplate_lines(spark):
+    """C4-style corpus-level line dedup: lines in >= 2 distinct docs drop,
+    unique lines survive in original order, every doc survives (possibly
+    empty), and within-doc repetition alone never triggers a drop."""
+    from data_quality_autohealer_spark.operators.dedup import line_dedup
+
+    docs = [
+        (0, "cookie banner\nreal content zero\nfooter text"),
+        (1, "cookie banner\nunique middle one\nfooter text"),
+        (2, "self repeated\nself repeated\nonly here"),
+        (3, "cookie banner"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert len(out) == 5
+    assert out[0]["text_deduped"] == "real content zero"
+    assert out[1]["text_deduped"] == "unique middle one"
+    # doc 2: 'self repeated' occurs twice but only in ONE doc -> kept
+    assert out[2]["text_deduped"] == "self repeated\nself repeated\nonly here"
+    assert out[3]["text_deduped"] == "" and out[3]["n_lines_dropped"] == 1
+    assert out[4]["text_deduped"] == "" and out[4]["n_lines_dropped"] == 0
+    assert out[0]["n_lines_kept"] == 1 and out[0]["n_lines_dropped"] == 2
