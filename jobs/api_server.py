@@ -147,6 +147,59 @@ def create_app(spark):
                         headers={"Cache-Control": "no-cache",
                                  "X-Accel-Buffering": "no"})
 
+    @app.get("/dashboard")
+    def dashboard():
+        # browser client for the live feed — the reference's dashboard/
+        # index.html (WebSocket UI over ws://.../ws/quality) rebuilt as a
+        # dependency-free single page over THIS service's SSE stream +
+        # pull endpoints. Server-rendered template string: no static-file
+        # serving, no build step, works from `python jobs/api_server.py`.
+        from flask import Response as _Resp
+        wh = request.args.get("warehouse", "")
+        html = """<!doctype html>
+<html><head><meta charset="utf-8">
+<title>Data Quality Dashboard (PySpark rebuild)</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:60rem}
+ table{border-collapse:collapse;width:100%}
+ th,td{border:1px solid #ccc;padding:.3rem .6rem;text-align:left}
+ .sev-high{background:#fdd}.sev-medium{background:#ffd}
+ #status{color:#666;font-size:.9rem}
+</style></head><body>
+<h1>Data Quality Dashboard</h1>
+<p id="totals">loading totals…</p>
+<h2>Live alerts</h2>
+<p id="status">connecting…</p>
+<table><thead><tr><th>run</th><th>bucket</th><th>severity</th>
+<th>drop rate</th></tr></thead><tbody id="alerts"></tbody></table>
+<script>
+ const wh = new URLSearchParams(location.search).get('warehouse') || '%WH%';
+ fetch('/report?warehouse=' + encodeURIComponent(wh))
+   .then(r => r.json())
+   .then(t => { document.getElementById('totals').textContent =
+     `buckets ${t.buckets} · docs in ${t.docs_in} · kept ${t.docs_kept}`; })
+   .catch(e => { document.getElementById('totals').textContent =
+     'report unavailable: ' + e; });
+ const es = new EventSource('/alerts/stream?warehouse='
+                            + encodeURIComponent(wh));
+ es.addEventListener('alert', ev => {
+   const a = JSON.parse(ev.data);
+   const tr = document.createElement('tr');
+   tr.className = 'sev-' + a.severity;
+   for (const v of [a.run_id, a.bucket, a.severity, a.drop_rate]) {
+     const td = document.createElement('td');
+     td.textContent = v; tr.appendChild(td);
+   }
+   document.getElementById('alerts').prepend(tr);
+   document.getElementById('status').textContent = 'live';
+ });
+ es.onopen = () =>
+   document.getElementById('status').textContent = 'connected';
+ es.onerror = () =>
+   document.getElementById('status').textContent = 'disconnected';
+</script></body></html>"""
+        return _Resp(html.replace("%WH%", wh), mimetype="text/html")
+
     @app.get("/report")
     def report():
         from pyspark.sql import functions as SF
