@@ -1185,6 +1185,44 @@ def _q_quality_strata(spark, sf_dir):
     return curation.quality_strata(df, "word_count", n_tiles=4)
 
 
+def _q_canonical_dedup(spark, sf_dir):
+    # fuzzy-exact dedup: normalize (case/punct/whitespace) then hash —
+    # catches variants byte-exact dedup misses. Round-4 — SURVEY §2.13.
+    return dedup.canonical_dedup_groups(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_url_canonical_dedup(spark, sf_dir):
+    # URL canonicalization + URL-level dedup (tracking params, fragments,
+    # case, www, trailing slash). URLs derived deterministically from
+    # doc_id with variants engineered in (url_quality convention).
+    # Round-4 — SURVEY §2.13.
+    from data_quality_autohealer_spark.functions import urls
+    u = urls.derived_url_sql("spark")
+    canon = urls.canonical_url_sql("url", "spark")
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", f"{u} as url")
+            .selectExpr("doc_id", "url", f"{canon} as canon_url")
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").alias("rep_id"),
+                 F.count(F.lit(1)).cast("long").alias("dup_count"),
+                 F.countDistinct("url").cast("long").alias("n_raw_variants")))
+
+
+def _oracle_url_canonical_dedup() -> str:
+    from data_quality_autohealer_spark.functions import urls
+    u = urls.derived_url_sql("duck")
+    canon = urls.canonical_url_sql("url", "duck")
+    return f"""
+        with u as (select doc_id, {u} as url from documents),
+        c as (select doc_id, url, {canon} as canon_url from u)
+        select canon_url, min(doc_id) as rep_id,
+               count(*)::bigint as dup_count,
+               count(distinct url)::bigint as n_raw_variants
+        from c group by canon_url
+    """
+
+
 def _q_line_dedup(spark, sf_dir):
     # C4-style corpus-level line dedup (boilerplate removal): lines
     # appearing in >= 2 distinct docs are dropped, docs rebuilt in order.
@@ -1263,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green CORRECTNESS_r03 rows and moved to slots 51+
         "line_dedup": _q_line_dedup,
         "token_budget_sample": _q_token_budget_sample,
+        "canonical_dedup_groups": _q_canonical_dedup,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "salted_event_stats": _q_salted_event_stats,
         "asof_join_events": _q_asof_join_events,
         "time_range_join_events": _q_time_range_join_events,
@@ -1276,8 +1316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "lang_agreement": _q_lang_agreement,
         "pii_density_by_source": _q_pii_density_by_source,
-        "punct_stats": _q_punct_stats,
-        "zscore_outliers_events": _q_zscore_outliers,
         "url_quality": _q_url_quality,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "neardup_groups": _q_neardup_groups,
@@ -1307,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_priority": _q_rollup_order_priority,
         "json_extract_events": _q_json_extract,
         "session_windows": _q_session_windows,
+        "punct_stats": _q_punct_stats,
+        "zscore_outliers_events": _q_zscore_outliers,
         "pipeline_full_decision": _q_pipeline_full,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
@@ -1520,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.duckdb_simhash_sql("documents"),
         "line_dedup": dedup.duckdb_line_dedup_sql("documents"),
         "token_budget_sample": _oracle_token_budget_sample(),
+        "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
+        "url_canonical_dedup": _oracle_url_canonical_dedup(),
         "pii_scrub": _oracle_pii_scrub(),
         "profile_documents": _oracle_profile_documents(),
         "outlier_iqr_lineitem": _oracle_outlier_iqr(),

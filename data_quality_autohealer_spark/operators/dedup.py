@@ -157,6 +157,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(w, on=id_col, how="left_semi")
 
 
+def canonical_text_sql(text: str, engine: str) -> str:
+    """Normalized text for fuzzy-exact dedup (the C4/RefinedWeb
+    "normalize then hash" convention): lowercase, strip portable
+    punctuation, collapse whitespace runs to one space, trim. Catches
+    case/punctuation/spacing variants that byte-exact md5 misses while
+    staying a pure deterministic expression in both engines."""
+    from ..functions import text_heuristics as th
+
+    g = ", 'g'" if engine == "duck" else ""
+    ws = th._WS_CLASS_DUCK if engine == "duck" else th._WS_CLASS_SPARK
+    e = f"lower({text})"
+    e = f"regexp_replace({e}, '[.,;:!?()]', ''{g})"
+    e = f"regexp_replace({e}, '{ws}+', ' '{g})"
+    return f"trim({e})"
+
+
+def canonical_dedup_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-exact duplicate groups over the canonicalized text: one row
+    per canonical form with the minimal id as representative, the group
+    size, and how many DISTINCT raw texts it collapsed. Same 16 B/doc
+    hash-shuffle shape as exact_dedup_groups."""
+    canon = canonical_text_sql(text_col, "spark")
+    return (df.select(F.col(id_col),
+                      F.md5(F.col(text_col)).alias("_raw_hash"),
+                      F.md5(F.expr(canon)).alias("canon_hash"))
+            .groupBy("canon_hash")
+            .agg(F.min(id_col).alias("rep_id"),
+                 F.count(F.lit(1)).cast("long").alias("dup_count"),
+                 F.countDistinct("_raw_hash").cast("long")
+                 .alias("n_raw_variants")))
+
+
+def duckdb_canonical_dedup_sql(table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    canon = canonical_text_sql(text_col, "duck")
+    return f"""
+        select md5({canon}) as canon_hash,
+               min({id_col}) as rep_id,
+               count(*)::bigint as dup_count,
+               count(distinct md5({text_col}))::bigint as n_raw_variants
+        from {table}
+        group by md5({canon})
+    """
+
+
 def line_dedup(df: DataFrame, min_doc_count: int = 2,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """C4-style corpus-level line dedup (boilerplate removal): drop every

@@ -210,3 +210,53 @@ def test_line_dedup_removes_boilerplate_lines(spark):
     assert out[3]["text_deduped"] == "" and out[3]["n_lines_dropped"] == 1
     assert out[4]["text_deduped"] == "" and out[4]["n_lines_dropped"] == 0
     assert out[0]["n_lines_kept"] == 1 and out[0]["n_lines_dropped"] == 2
+
+
+def test_canonical_dedup_collapses_variants(spark):
+    """Fuzzy-exact dedup: case/punctuation/whitespace variants share a
+    canonical hash; genuinely different texts do not."""
+    from data_quality_autohealer_spark.operators.dedup import (
+        canonical_dedup_groups,
+    )
+
+    docs = [(0, "Hello, World!"), (1, "hello world"),
+            (2, "hello   world"), (3, "HELLO WORLD."),
+            (4, "goodbye world")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = canonical_dedup_groups(df).collect()
+    by_rep = {r["rep_id"]: r for r in out}
+    assert len(out) == 2
+    assert by_rep[0]["dup_count"] == 4
+    assert by_rep[0]["n_raw_variants"] == 4  # all four raw texts distinct
+    assert by_rep[4]["dup_count"] == 1
+
+
+def test_url_canonicalization_rules(spark):
+    """Each canonicalization rule verified on a crafted URL, engine-paired:
+    the Spark expression and the DuckDB twin produce identical strings."""
+    import duckdb
+
+    from data_quality_autohealer_spark.functions.urls import (
+        canonical_url_sql,
+    )
+
+    cases = [
+        ("HTTP://WWW.Host1.Example/P/3/?utm_source=feed#sec",
+         "http://host1.example/p/3"),
+        ("http://host2.example/p/4?utm_campaign=a&id=2",
+         "http://host2.example/p/4?id=2"),
+        ("http://host2.example/p/4?id=2&utm_campaign=a",
+         "http://host2.example/p/4?id=2"),
+        ("https://www.host3.example:80/x/", "https://host3.example/x"),
+        ("http://host4.example/p/9?id=1", "http://host4.example/p/9?id=1"),
+        ("http://host5.example/a/?id=3", "http://host5.example/a?id=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.selectExpr(
+        f"{canonical_url_sql('url', 'spark')} as c").collect()]
+    assert got == [c for _, c in cases]
+    con = duckdb.connect()
+    for raw, want in cases:
+        duck = con.execute(
+            "select " + canonical_url_sql(f"'{raw}'", "duck")).fetchone()[0]
+        assert duck == want, (raw, duck, want)
