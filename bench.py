@@ -58,6 +58,11 @@ HEADLINE = [
     "stratified_sample",
     "quality_strata_approx",
     "snapshot_delta",
+    # round-4 operators
+    "line_dedup",
+    "canonical_dedup_groups",
+    "token_budget_sample",
+    "url_canonical_dedup",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -21,6 +21,10 @@ def test_registry_shape():
     assert list(q)[-1] in rows_only
     # oracle-checked majority: the gate's strength comes from hash checks
     assert len(o) >= 50
+    # the driver's correctness gate records only the FIRST 50 registry
+    # entries (observed r02/r03): every slot in that window must carry an
+    # oracle twin, or a hash-checkable slot is wasted on a rows-only row
+    assert all(name in o for name in list(q)[:50])
 
 
 def test_every_oracle_sql_parses_in_duckdb():
