@@ -204,6 +204,15 @@ def duckdb_canonical_dedup_sql(table: str = "documents",
     """
 
 
+def canonical_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (minimal id) per canonical text form — the
+    keep-one companion of canonical_dedup_groups (exact_dedup shape)."""
+    w = canonical_dedup_groups(df, text_col, id_col).select(
+        F.col("rep_id").alias(id_col))
+    return df.join(w, on=id_col, how="left_semi")
+
+
 def line_dedup(df: DataFrame, min_doc_count: int = 2,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """C4-style corpus-level line dedup (boilerplate removal): drop every

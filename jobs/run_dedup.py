@@ -10,6 +10,15 @@ Usage:
   python jobs/run_dedup.py --warehouse /tmp/wh --mode exact
   python jobs/run_dedup.py --warehouse /tmp/wh --mode neardup \
       --jaccard-threshold 0.5
+  python jobs/run_dedup.py --warehouse /tmp/wh --mode canonical
+  python jobs/run_dedup.py --warehouse /tmp/wh --mode line \
+      --min-line-docs 2
+
+Modes: ``exact`` keep-one per md5(text); ``canonical`` keep-one per
+normalized (case/punct/whitespace) text; ``neardup`` the full LSH →
+Jaccard → components chain; ``line`` rewrites each doc with corpus-wide
+duplicate lines (boilerplate) removed — doc count unchanged, the audit
+row carries lines_dropped.
 """
 
 from __future__ import annotations
@@ -24,20 +33,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
     p.add_argument("--pages-table", default="pages")
     p.add_argument("--out-table", default="pages_deduped")
-    p.add_argument("--mode", choices=["exact", "neardup"], default="exact")
+    p.add_argument("--mode", choices=["exact", "neardup", "canonical",
+                                      "line"], default="exact")
     p.add_argument("--shingle-n", type=int, default=3)
     p.add_argument("--jaccard-n", type=int, default=3)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--max-bucket-size", type=int, default=1000)
+    p.add_argument("--min-line-docs", type=int, default=2)
     p.add_argument("--master", default=None)
     p.add_argument("--generate", type=int, default=0,
                    help="generate N synthetic pages into the warehouse first")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from data_quality_autohealer_spark import synth
     from data_quality_autohealer_spark.operators import dedup
@@ -53,8 +64,20 @@ def main() -> None:
     n_in = pages.count()
 
     t0 = time.perf_counter()
+    lines_dropped = None
     if args.mode == "exact":
         deduped = dedup.exact_dedup(pages, text_col="text", id_col="url")
+    elif args.mode == "canonical":
+        deduped = dedup.canonical_dedup(pages, text_col="text",
+                                        id_col="url")
+    elif args.mode == "line":
+        from pyspark.sql import functions as F
+        ld = dedup.line_dedup(pages, min_doc_count=args.min_line_docs,
+                              text_col="text", id_col="url").persist()
+        lines_dropped = int(ld.agg(
+            F.sum("n_lines_dropped")).collect()[0][0] or 0)
+        deduped = pages.drop("text").join(
+            ld.select("url", F.col("text_deduped").alias("text")), "url")
     else:
         # exact dedup FIRST: identical-text clusters are the worst LSH
         # mega-buckets (every member shares every band); removing them
@@ -71,17 +94,22 @@ def main() -> None:
     n_out = wh.read_pages(args.out_table).count()
     sec = round(time.perf_counter() - t0, 2)
 
+    detail = f"{args.mode} dedup {n_in} -> {n_out} docs in {sec}s"
+    if lines_dropped is not None:
+        detail += f" ({lines_dropped} duplicate lines removed)"
     audit = spark.createDataFrame(
         [(f"dedup-{args.mode}", "dedup", n_in,
-          round(1.0 - n_out / max(n_in, 1), 6), "ok",
-          f"{args.mode} dedup {n_in} -> {n_out} docs in {sec}s",
+          round(1.0 - n_out / max(n_in, 1), 6), "ok", detail,
           datetime.datetime.now())], AUDIT_SCHEMA)
     wh.append_audit(audit)
 
-    json.dump({"mode": args.mode, "docs_in": n_in, "docs_out": n_out,
-               "removed": n_in - n_out, "sec": sec}, sys.stdout)
-    print()
+    summary = {"mode": args.mode, "docs_in": n_in, "docs_out": n_out,
+               "removed": n_in - n_out, "sec": sec}
+    if lines_dropped is not None:
+        summary["lines_dropped"] = lines_dropped
+    return summary
 
 
 if __name__ == "__main__":
-    main()
+    json.dump(main(), sys.stdout)
+    print()

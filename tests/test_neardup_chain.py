@@ -260,3 +260,37 @@ def test_url_canonicalization_rules(spark):
         duck = con.execute(
             "select " + canonical_url_sql(f"'{raw}'", "duck")).fetchone()[0]
         assert duck == want, (raw, duck, want)
+
+
+def test_url_canonicalization_idempotent_and_engine_identical(spark):
+    """On a seeded corpus of adversarial URL shapes: canonical(canonical(u))
+    == canonical(u) (the classic canonicalizer bug-catcher) and the Spark
+    expression equals the DuckDB twin string-for-string."""
+    import duckdb
+    import random
+
+    from data_quality_autohealer_spark.functions.urls import (
+        canonical_url_sql,
+    )
+
+    rng = random.Random(42)
+    schemes = ["http://", "HTTP://", "https://", "HTTPS://"]
+    hosts = ["www.Site.com", "site.com", "WWW.SITE.COM", "a.b.example:80"]
+    paths = ["", "/", "/x", "/x/", "/x/y/", "/X/Y"]
+    queries = ["", "?", "?id=1", "?utm_source=a", "?utm_a=1&utm_b=2",
+               "?id=1&utm_c=3", "?utm_d=4&id=2", "?ref=t&fbclid=z&id=5"]
+    frags = ["", "#f", "#utm_source=x"]
+    urls = ["".join([rng.choice(schemes), rng.choice(hosts),
+                     rng.choice(paths), rng.choice(queries),
+                     rng.choice(frags)]) for _ in range(300)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    c1 = canonical_url_sql("url", "spark")
+    out = df.selectExpr("url", f"{c1} as c").selectExpr(
+        "url", "c", f"{canonical_url_sql('c', 'spark')} as cc").collect()
+    con = duckdb.connect()
+    for r in out:
+        assert r["cc"] == r["c"], f"not idempotent: {r['url']!r} -> " \
+            f"{r['c']!r} -> {r['cc']!r}"
+        duck = con.execute("select " + canonical_url_sql(
+            f"'{r['url']}'", "duck")).fetchone()[0]
+        assert duck == r["c"], (r["url"], duck, r["c"])

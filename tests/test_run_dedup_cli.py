@@ -1,0 +1,49 @@
+"""In-process tests for the run_dedup CLI's round-4 modes (canonical and
+line) — the exact/neardup modes are exercised by docs/SCALE.md runs."""
+
+import datetime
+
+from jobs import run_dedup
+
+
+def _pages(spark, rows):
+    ts = datetime.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [(u, ts, b"", t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def test_canonical_mode_keeps_one_per_normalized_text(spark, tmp_path):
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [(f"http://a{i}/", t) for i, t in enumerate(
+        ["Hello, World!", "hello world", "Other Text", "other   text",
+         "third doc entirely"])]
+    wh.write_pages(_pages(spark, rows))
+    out = run_dedup.main(["--warehouse", str(tmp_path / "wh"),
+                          "--mode", "canonical"])
+    assert out["docs_in"] == 5 and out["docs_out"] == 3
+    kept = {r["url"] for r in
+            wh.read_pages("pages_deduped").select("url").collect()}
+    # minimal url per canonical group survives
+    assert kept == {"http://a0/", "http://a2/", "http://a4/"}
+
+
+def test_line_mode_strips_boilerplate_keeps_all_docs(spark, tmp_path):
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [(f"http://b{i}/", f"ACCEPT COOKIES\nreal content {i}")
+            for i in range(4)]
+    wh.write_pages(_pages(spark, rows))
+    out = run_dedup.main(["--warehouse", str(tmp_path / "wh"),
+                          "--mode", "line"])
+    assert out["docs_in"] == 4 and out["docs_out"] == 4
+    assert out["lines_dropped"] == 4
+    texts = {r["url"]: r["text"] for r in
+             wh.read_pages("pages_deduped").select("url", "text").collect()}
+    for i in range(4):
+        assert texts[f"http://b{i}/"] == f"real content {i}"
+    # audit row records the line removal
+    audits = wh.read_audit().collect()
+    assert any("duplicate lines removed" in r["message"] for r in audits)
