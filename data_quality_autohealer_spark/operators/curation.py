@@ -140,7 +140,8 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
                         token_col: str = "word_count",
                         strata_col: str = "lang", id_col: str = "doc_id",
                         default_budget: int = 0,
-                        salt: str = "tb") -> DataFrame:
+                        salt: str = "tb",
+                        keep_cols: tuple = ()) -> DataFrame:
     """Deterministic per-stratum doc selection up to a TOKEN budget (the
     mixture knob real training mixes are specified in — tokens, not docs):
     docs ordered by the shared hash fraction (reproducible under re-runs /
@@ -168,7 +169,7 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
             .where(F.col("cum_tokens") <= F.expr(budget).cast("long"))
             .select(id_col, strata_col,
                     F.col(token_col).cast("long").alias("n_tokens"),
-                    "cum_tokens"))
+                    "cum_tokens", *keep_cols))
 
 
 def duckdb_token_budget_sql(table: str, budgets: dict[str, int],

@@ -38,14 +38,52 @@ def parse_rates(spec: str) -> dict[str, float]:
 
 def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                shards: int, salt: str = "mix",
-               default_rate: float = 1.0) -> dict:
-    """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary."""
+               default_rate: float = 1.0,
+               token_budgets: dict[str, int] | None = None,
+               default_budget: int = 0) -> dict:
+    """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary.
+
+    Two mixture modes: ``rates`` (per-lang doc-rate hash sampling, the
+    default) or ``token_budgets`` (per-lang running-TOKEN budget via
+    curation.token_budget_sample — training mixes are usually specified
+    in tokens; whole docs, deterministic hash order)."""
     from pyspark.sql import functions as F
 
+    from data_quality_autohealer_spark.functions import text_heuristics as th
     from data_quality_autohealer_spark.operators.curation import (
         _hash_frac_sql, _rate_case_sql, stratified_sample,
+        token_budget_sample,
     )
     from data_quality_autohealer_spark.sources.tables import write_jsonl
+
+    if token_budgets:
+        wc = (f"case when text is null or trim(text) = '' then 0 "
+              f"else size({th._spark_words('text')}) end")
+        sampled = token_budget_sample(
+            clean.withColumn("word_count", F.expr(wc)),
+            token_budgets, token_col="word_count", strata_col="lang",
+            id_col="url", default_budget=default_budget, salt=salt,
+            keep_cols=("text",))
+        sharded = (sampled
+                   .withColumn("shard",
+                               F.expr(f"pmod(xxhash64(url), {shards})"))
+                   .repartition(shards, "shard"))
+        write_jsonl(sharded.select("url", "lang", "text", "shard")
+                    .sortWithinPartitions("url"), out_dir)
+        stats = (sampled.groupBy("lang")
+                 .agg(F.count("*").alias("n_out"),
+                      F.max("cum_tokens").alias("tokens_out"))
+                 .collect())
+        n_in = clean.count()
+        return {
+            "out": out_dir,
+            "shards": shards,
+            "docs_in": n_in,
+            "docs_out": sum(r["n_out"] for r in stats),
+            "by_lang": {r["lang"]: {"out": r["n_out"],
+                                    "tokens": r["tokens_out"]}
+                        for r in sorted(stats, key=lambda r: r["lang"])},
+        }
 
     sampled = stratified_sample(clean, rates, strata_col="lang",
                                 id_col="url", default_rate=default_rate,
@@ -82,6 +120,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="lang=rate[,lang=rate...]; unlisted langs default "
                         "to --default-rate")
     p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--token-budgets", default="",
+                   help="lang=tokens[,lang=tokens...]; when set, overrides "
+                        "--rates with per-lang running-token budgets "
+                        "(whole docs, deterministic hash order)")
+    p.add_argument("--default-budget", type=int, default=0)
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--salt", default="mix")
     p.add_argument("--master", default=None)
@@ -93,10 +136,13 @@ def main(argv: list[str] | None = None) -> dict:
     spark = get_spark(app_name="dqa-export-mix", master=args.master)
     wh = Warehouse(spark, args.warehouse)
     clean = wh.read_clean(args.clean_table)
+    budgets = {k: int(v) for k, v in parse_rates(args.token_budgets).items()}
     # default_rate keeps unlisted languages rather than silently dropping
     return export_mix(spark, clean, args.out, parse_rates(args.rates),
                       args.shards, args.salt,
-                      default_rate=args.default_rate)
+                      default_rate=args.default_rate,
+                      token_budgets=budgets or None,
+                      default_budget=args.default_budget)
 
 
 if __name__ == "__main__":

@@ -60,3 +60,28 @@ def test_export_salt_varies_sample(spark, tmp_path):
     ub = {r["url"] for r in spark.read.json(str(tmp_path / "b")).collect()}
     assert ua != ub  # independent draws
     assert abs(len(ua) - len(ub)) < 0.2 * max(len(ua), len(ub))
+
+
+def test_export_token_budget_mode(spark, tmp_path):
+    """--token-budgets selects whole docs per lang until the running token
+    total hits the budget; output round-trips and respects the cap."""
+    wh_dir = _clean_warehouse(spark, tmp_path, n=1500)
+    out = str(tmp_path / "budget_mix")
+    s = ex.main(["--warehouse", wh_dir, "--out", out,
+                 "--token-budgets", "en=3000,de=1500",
+                 "--shards", "4"])
+    assert s["docs_out"] > 0
+    assert s["by_lang"]["en"]["tokens"] <= 3000
+    assert s["by_lang"].get("de", {"tokens": 0})["tokens"] <= 1500
+    # unlisted langs with default budget 0 export nothing
+    assert set(s["by_lang"]) <= {"en", "de"}
+    back = spark.read.json(out)
+    assert back.count() == s["docs_out"]
+    assert set(back.columns) >= {"url", "lang", "text", "shard"}
+    # deterministic: same budgets + salt -> identical doc set
+    s2 = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "b2"),
+                  "--token-budgets", "en=3000,de=1500", "--shards", "4"])
+    u1 = {r["url"] for r in back.select("url").collect()}
+    u2 = {r["url"] for r in
+          spark.read.json(str(tmp_path / "b2")).select("url").collect()}
+    assert u1 == u2
