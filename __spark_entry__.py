@@ -439,16 +439,20 @@ def _q_semantic_neardup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     clusters = clustering.kmeans_assign(emb, k=_KMEANS_K,
                                         iters=_KMEANS_ITERS)
+    # norms staged per VECTOR before the self-join (the r03 trick that
+    # halved embedding_near_dup_pairs): same sequential fold the twin
+    # computes, run once per vector instead of twice per pair
     e = (emb.select(
             "vec_id",
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+         .withColumn("nrm", F.expr(
+             "sqrt(aggregate(transform(v, x -> x * x), "
+             "cast(0.0 as double), (acc, x) -> acc + x))"))
          .join(clusters, "vec_id"))
     a, b = e.alias("a"), e.alias("b")
     dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
            "cast(0.0 as double), (acc, x) -> acc + x)")
-    nrm = ("sqrt(aggregate(transform({s}.v, x -> x * x), "
-           "cast(0.0 as double), (acc, x) -> acc + x))")
-    cos = f"round(({dot}) / ({nrm.format(s='a')} * {nrm.format(s='b')}), 6)"
+    cos = f"round(({dot}) / (a.nrm * b.nrm), 6)"
     return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("id_a"),
