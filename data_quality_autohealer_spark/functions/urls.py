@@ -31,6 +31,10 @@ def canonical_url_sql(url: str, engine: str) -> str:
     e = f"regexp_replace({e}, '[?&]{_TRACKING}=[^&]*$', ''{g})"
     e = f"regexp_replace({e}, '[?]$', ''{g})"
     e = f"regexp_replace({e}, '/[?]', '?'{g})"
+    # plain substring replace: also hits a literal ':80/' inside a path
+    # segment — accepted (rare, and a canonicalizer may normalize it);
+    # a backref-free authority-only variant would need scheme-specific
+    # alternation for no practical gain
     e = f"replace({e}, ':80/', '/')"
     e = (f"regexp_replace({e}, '^http://www[.]', 'http://'{g})")
     e = (f"regexp_replace({e}, '^https://www[.]', 'https://'{g})")

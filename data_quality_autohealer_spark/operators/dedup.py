@@ -227,6 +227,9 @@ def line_dedup(df: DataFrame, min_doc_count: int = 2,
     counts), never on line text; the dup set joins back on the same 8-byte
     key. Blank lines are never counted as duplicates. Hash collisions are
     part of the (engine-identical) semantics, as with minhash/_hash_base.
+    NULL-text docs vanish in BOTH engines (split(NULL) explodes to zero
+    rows; DuckDB unnest(NULL) likewise) — filter or coalesce upstream if
+    they must survive.
     """
     lines = df.select(
         F.col(id_col),

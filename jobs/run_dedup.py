@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     t0 = time.perf_counter()
     lines_dropped = None
+    cached = []  # unpersisted once the output table is written + counted
     if args.mode == "exact":
         deduped = dedup.exact_dedup(pages, text_col="text", id_col="url")
     elif args.mode == "canonical":
@@ -74,6 +75,7 @@ def main(argv: list[str] | None = None) -> dict:
         from pyspark.sql import functions as F
         ld = dedup.line_dedup(pages, min_doc_count=args.min_line_docs,
                               text_col="text", id_col="url").persist()
+        cached.append(ld)
         lines_dropped = int(ld.agg(
             F.sum("n_lines_dropped")).collect()[0][0] or 0)
         deduped = pages.drop("text").join(
@@ -84,6 +86,7 @@ def main(argv: list[str] | None = None) -> dict:
         # upstream keeps the band self-join fan-out to genuine near-dups
         exact = dedup.exact_dedup(pages, text_col="text", id_col="url")
         exact = exact.persist()
+        cached.append(exact)
         exact.count()
         deduped = dedup.neardup_dedup(
             exact, text_col="text", id_col="url",
@@ -92,6 +95,8 @@ def main(argv: list[str] | None = None) -> dict:
             max_bucket_size=args.max_bucket_size)
     wh.write_pages(deduped.drop("bucket"), table=args.out_table)
     n_out = wh.read_pages(args.out_table).count()
+    for df in cached:
+        df.unpersist()
     sec = round(time.perf_counter() - t0, 2)
 
     detail = f"{args.mode} dedup {n_in} -> {n_out} docs in {sec}s"
