@@ -1257,6 +1257,18 @@ def _oracle_token_budget_sample() -> str:
         src, _TOKEN_BUDGETS, default_budget=_TOKEN_BUDGET_DEFAULT)
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    # O(1)-memory exact-text decontamination (rows-only: a Bloom filter is
+    # not SQL-expressible, but the result is fully deterministic — bitwise
+    # OR is order-independent). ref = doc_id%5==0 of the same corpus, so
+    # expected drops are exactly those docs (+~0 false positives at this
+    # m/n). Round-4 addition — SURVEY §2.13 V14.
+    from data_quality_autohealer_spark.operators import bloom
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bloom.decontaminate_bloom(docs, docs.where("doc_id % 5 = 0"),
+                                     "text")
+
+
 def _q_quality_strata_approx(spark, sf_dir):
     # the SCALE path for quality stratification (rows-only): percentile_
     # approx cut points + shuffle-free per-row bucket lookup — no global
@@ -1358,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
         "semantic_neardup_fast": _q_semantic_neardup_fast,
         "quality_strata_approx": _q_quality_strata_approx,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,

@@ -1,0 +1,53 @@
+"""Distributed Bloom filter: no false negatives, bounded false-positive
+rate, partitioning-independent bits, shuffle-free probe plan, and the
+decontamination contract (drops ⊇ exact matches, over-drop ≈ FPR only)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from data_quality_autohealer_spark.operators import bloom
+
+
+def _texts(spark, ids, prefix="doc"):
+    return spark.createDataFrame(
+        [(i, f"{prefix} number {i} with some body") for i in ids],
+        "doc_id long, text string")
+
+
+def test_no_false_negatives_and_fpr(spark):
+    members = _texts(spark, range(2000))
+    bits = bloom.build_bloom(members, "text", m_bits=1 << 18, k=5)
+    # every member must test positive
+    tested = bloom.might_contain(members, "text", bits, k=5)
+    assert tested.where(~F.col("_in_bloom")).count() == 0
+    # non-members: ~ (1 - e^{-kn/m})^k ≈ 0.15% at n=2000, m=2^18, k=5;
+    # allow a generous 10x margin
+    others = _texts(spark, range(10_000, 20_000))
+    fp = bloom.might_contain(others, "text", bits, k=5) \
+        .where(F.col("_in_bloom")).count()
+    assert fp / 10_000 < 0.015, f"FPR {fp/10_000:.4f}"
+
+
+def test_bits_independent_of_partitioning(spark):
+    df = _texts(spark, range(500))
+    a = bloom.build_bloom(df.repartition(1), "text", m_bits=1 << 16, k=4)
+    b = bloom.build_bloom(df.repartition(13), "text", m_bits=1 << 16, k=4)
+    assert np.array_equal(a, b)
+
+
+def test_decontaminate_drops_ref_docs_without_shuffle(spark):
+    # ref = every 5th doc's text; decontamination must drop exactly those
+    # (texts are unique per id, FPR ~0 at this m/n) and keep the rest
+    all_docs = _texts(spark, range(1000))
+    ref = all_docs.where("doc_id % 5 = 0")
+    kept = bloom.decontaminate_bloom(all_docs, ref, "text",
+                                     m_bits=1 << 20, k=5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(i % 5 != 0 for i in ids)
+    # over-drop (false positives) is at most a handful at this sizing
+    assert len(ids) >= 800 - 5
+    # the probe side is shuffle-free: scan -> hash -> UDF -> filter
+    probed = bloom.might_contain(
+        all_docs, "text", bloom.build_bloom(ref, "text", 1 << 20, 5), 5)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
