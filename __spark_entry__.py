@@ -501,6 +501,18 @@ def _q_cross_corpus_neardup(spark, sf_dir):
 _CROSS_NEARDUP_THRESHOLD = 0.5
 
 
+def _q_neardup_via_index(spark, sf_dir):
+    # incremental decontamination against a STORED signature index
+    # (rows-only: the index is an intermediate artifact, but the pair set
+    # is asserted identical to the oracle-checked cross_corpus_neardup in
+    # tests/test_neardup_chain.py). Round-4 — SURVEY §2.13 V15.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    index = dedup.build_signature_index(docs.where("doc_id % 3 = 0"))
+    return dedup.neardup_against_index(
+        docs.where("doc_id % 3 != 0"), index,
+        threshold=_CROSS_NEARDUP_THRESHOLD)
+
+
 def _q_snapshot_delta(spark, sf_dir):
     # re-crawl snapshot diff: full outer join of two crawl states ->
     # added / removed / changed / same per doc. Snapshots are derived
@@ -1371,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_neardup_fast": _q_semantic_neardup_fast,
         "quality_strata_approx": _q_quality_strata_approx,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "neardup_via_index": _q_neardup_via_index,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,

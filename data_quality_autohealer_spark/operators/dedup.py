@@ -538,6 +538,91 @@ class ComponentsNotConverged(RuntimeError):
     closure and would disagree)."""
 
 
+def build_signature_index(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          rows_per_band: int = 2, shingle_n: int = 3,
+                          jaccard_n: int = 3) -> DataFrame:
+    """Persistable near-dup INDEX of a corpus: one row per doc with its LSH
+    band buckets (array<string>) and hashed Jaccard shingle set
+    (array<bigint>). Write it as a table once per corpus wave; every later
+    decontamination pass (``neardup_against_index``) then runs against the
+    index — tens of bytes per doc — instead of re-tokenizing corpus text.
+    This is how incremental dedup actually runs at 10^12 docs: the text is
+    read once when a doc enters the corpus, never again.
+
+    No bucket cap here — cap sizes depend on the FINAL corpus, so the cap
+    is applied at query time over the exploded index (same window-count
+    construction as _stacked_buckets, same semantics)."""
+    n_bands = k // rows_per_band
+    sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
+    banded = sig.selectExpr(id_col, text_col,
+                            *band_exprs(k, rows_per_band, "spark"))
+    ngrams = (f"{_hashed_ngrams(text_col, jaccard_n, 'spark', words_col='_w')}"
+              f" as ngrams")
+    return (banded.withColumn("_w", F.expr(_words(text_col, "spark")))
+            .selectExpr(
+                id_col,
+                "array(" + ", ".join(
+                    f"concat('{b}:', band_{b})" for b in range(n_bands))
+                + ") as buckets",
+                ngrams))
+
+
+def _stacked_index_buckets(index_df: DataFrame, id_col: str,
+                           max_bucket_size: int | None) -> DataFrame:
+    """Explode a stored index's bucket arrays into the (id, bucket) stack
+    _stacked_buckets produces, with the identical query-time cap."""
+    from pyspark.sql.window import Window
+
+    stacked = index_df.select(F.col(id_col),
+                              F.explode("buckets").alias("bucket"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        stacked = (stacked
+                   .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                   .where(F.col("_bsz") <= max_bucket_size)
+                   .drop("_bsz"))
+    return stacked
+
+
+def neardup_against_index(new_df: DataFrame, index_df: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 8, rows_per_band: int = 2,
+                          shingle_n: int = 3, jaccard_n: int = 3,
+                          threshold: float = 0.5,
+                          max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                          ) -> DataFrame:
+    """cross_corpus_neardup with the reference side served ENTIRELY from a
+    stored :func:`build_signature_index` table — no reference text is read.
+    Pair set is identical to cross_corpus_neardup over the original corpus
+    with the same parameters (asserted in tests). Returns
+    (new_id, ref_id, jaccard) at/above threshold."""
+    sn = _stacked_buckets(new_df, text_col, id_col, k, rows_per_band,
+                          shingle_n, max_bucket_size).alias("n")
+    sr = _stacked_index_buckets(index_df, id_col, max_bucket_size).alias("r")
+    cand = (sn.join(sr, F.col("n.bucket") == F.col("r.bucket"))
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"r.{id_col}").alias("ref_id"))
+            .distinct())
+    new_ng = (new_df.withColumn("_w", F.expr(_words(text_col, "spark")))
+              .selectExpr(
+                  f"{id_col} as new_id",
+                  f"{_hashed_ngrams(text_col, jaccard_n, 'spark', words_col='_w')}"
+                  f" as _ng_new"))
+    ref_ng = index_df.select(F.col(id_col).alias("ref_id"),
+                             F.col("ngrams").alias("_ng_ref"))
+    sized = (cand.join(new_ng, "new_id").join(ref_ng, "ref_id")
+             .select("new_id", "ref_id",
+                     F.size(F.array_intersect("_ng_new", "_ng_ref"))
+                     .alias("_i"),
+                     F.size("_ng_new").alias("_sa"),
+                     F.size("_ng_ref").alias("_sb")))
+    jac = F.round(F.col("_i")
+                  / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6)
+    return (sized.select("new_id", "ref_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25,
                          checkpoint_dir: str | None = None,
                          stats: dict | None = None) -> DataFrame:

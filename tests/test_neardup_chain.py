@@ -294,3 +294,26 @@ def test_url_canonicalization_idempotent_and_engine_identical(spark):
         duck = con.execute("select " + canonical_url_sql(
             f"'{r['url']}'", "duck")).fetchone()[0]
         assert duck == r["c"], (r["url"], duck, r["c"])
+
+
+def test_signature_index_round_trip_equals_direct(spark, tmp_path):
+    """The persisted near-dup index reproduces cross_corpus_neardup
+    EXACTLY: build the index over the reference corpus, write/read it as
+    parquet, decontaminate against it — identical (new_id, ref_id,
+    jaccard) set, with no reference text read at query time."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    new = docs.where("doc_id % 3 != 0")
+    ref = docs.where("doc_id % 3 = 0")
+    direct = {(r["new_id"], r["ref_id"], r["jaccard"])
+              for r in dedup.cross_corpus_neardup(
+                  new, ref, threshold=0.5).collect()}
+    path = str(tmp_path / "sig_index")
+    dedup.build_signature_index(ref).write.parquet(path)
+    back = spark.read.parquet(path)
+    via = {(r["new_id"], r["ref_id"], r["jaccard"])
+           for r in dedup.neardup_against_index(
+               new, back, threshold=0.5).collect()}
+    assert direct == via and len(via) > 0
+    # the stored index carries only ids + buckets + hashed shingles
+    assert set(back.columns) == {"doc_id", "buckets", "ngrams"}
