@@ -18,7 +18,14 @@ Modes: ``exact`` keep-one per md5(text); ``canonical`` keep-one per
 normalized (case/punct/whitespace) text; ``neardup`` the full LSH →
 Jaccard → components chain; ``line`` rewrites each doc with corpus-wide
 duplicate lines (boilerplate) removed — doc count unchanged, the audit
-row carries lines_dropped.
+row carries lines_dropped; ``index`` persists the corpus's near-dup
+signature index (band buckets + hashed shingles); ``decontaminate``
+drops pages near-duplicating a previously-written index — the prior
+corpus's text is never re-read:
+
+  python jobs/run_dedup.py --warehouse /wh --mode index
+  python jobs/run_dedup.py --warehouse /wh --mode decontaminate \
+      --pages-table pages_new --index-table signatures
 """
 
 from __future__ import annotations
@@ -39,7 +46,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--pages-table", default="pages")
     p.add_argument("--out-table", default="pages_deduped")
     p.add_argument("--mode", choices=["exact", "neardup", "canonical",
-                                      "line"], default="exact")
+                                      "line", "index", "decontaminate"],
+                   default="exact")
+    p.add_argument("--index-table", default="signatures",
+                   help="signature-index table name (written by --mode "
+                        "index, read by --mode decontaminate)")
     p.add_argument("--shingle-n", type=int, default=3)
     p.add_argument("--jaccard-n", type=int, default=3)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
@@ -49,6 +60,8 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--generate", type=int, default=0,
                    help="generate N synthetic pages into the warehouse first")
     args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
 
     from data_quality_autohealer_spark import synth
     from data_quality_autohealer_spark.operators import dedup
@@ -63,6 +76,25 @@ def main(argv: list[str] | None = None) -> dict:
     pages = wh.read_pages(args.pages_table)
     n_in = pages.count()
 
+    if args.mode == "index":
+        # build + persist the near-dup signature index of THIS corpus:
+        # later crawls decontaminate against it without re-reading text
+        t0 = time.perf_counter()
+        idx_path = os.path.join(args.warehouse, args.index_table)
+        dedup.build_signature_index(
+            pages, text_col="text", id_col="url",
+            shingle_n=args.shingle_n, jaccard_n=args.jaccard_n
+        ).write.mode("overwrite").parquet(idx_path)
+        n_idx = spark.read.parquet(idx_path).count()
+        sec = round(time.perf_counter() - t0, 2)
+        audit = spark.createDataFrame(
+            [("dedup-index", "dedup", n_in, 0.0, "ok",
+              f"signature index over {n_idx} docs in {sec}s",
+              datetime.datetime.now())], AUDIT_SCHEMA)
+        wh.append_audit(audit)
+        return {"mode": "index", "docs_in": n_in, "indexed": n_idx,
+                "index_path": idx_path, "sec": sec}
+
     t0 = time.perf_counter()
     lines_dropped = None
     cached = []  # unpersisted once the output table is written + counted
@@ -71,8 +103,19 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.mode == "canonical":
         deduped = dedup.canonical_dedup(pages, text_col="text",
                                         id_col="url")
+    elif args.mode == "decontaminate":
+        # drop pages near-duplicating the STORED index (a prior corpus):
+        # ref text is never read — the index carries buckets + shingles
+        index = spark.read.parquet(
+            os.path.join(args.warehouse, args.index_table))
+        flagged = dedup.neardup_against_index(
+            pages, index, text_col="text", id_col="url",
+            shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,
+            threshold=args.jaccard_threshold,
+            max_bucket_size=args.max_bucket_size
+        ).select(F.col("new_id").alias("url")).distinct()
+        deduped = pages.join(flagged, "url", "left_anti")
     elif args.mode == "line":
-        from pyspark.sql import functions as F
         ld = dedup.line_dedup(pages, min_doc_count=args.min_line_docs,
                               text_col="text", id_col="url").persist()
         cached.append(ld)
@@ -94,7 +137,14 @@ def main(argv: list[str] | None = None) -> dict:
             threshold=args.jaccard_threshold,
             max_bucket_size=args.max_bucket_size)
     wh.write_pages(deduped.drop("bucket"), table=args.out_table)
-    n_out = wh.read_pages(args.out_table).count()
+    try:
+        n_out = wh.read_pages(args.out_table).count()
+    except Exception as e:  # pragma: no cover - exercised via CLI edge
+        # every doc removed (e.g. decontaminating a corpus against its own
+        # index): the empty parquet dir carries no schema to infer
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        n_out = 0
     for df in cached:
         df.unpersist()
     sec = round(time.perf_counter() - t0, 2)

@@ -47,3 +47,41 @@ def test_line_mode_strips_boilerplate_keeps_all_docs(spark, tmp_path):
     # audit row records the line removal
     audits = wh.read_audit().collect()
     assert any("duplicate lines removed" in r["message"] for r in audits)
+
+
+def test_index_then_decontaminate_cli(spark, tmp_path):
+    """Incremental dedup across CLI runs: --mode index persists the
+    corpus's signature index; --mode decontaminate drops a later crawl's
+    near/exact copies against it without re-reading the ref text."""
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    ref_rows = [
+        ("http://r1/", "the cat sat on the mat and looked at the dog "
+                       "while it rained outside all afternoon"),
+        ("http://r2/", "completely different text about spark query "
+                       "engines operating at warehouse scale"),
+    ]
+    wh.write_pages(_pages(spark, ref_rows))
+    out = run_dedup.main(["--warehouse", wh_dir, "--mode", "index"])
+    assert out["indexed"] == 2
+
+    new_rows = [
+        # near-dup of r1 (one word changed) and exact copy of r2
+        ("http://n1/", "the cat sat on the mat and stared at the dog "
+                       "while it rained outside all afternoon"),
+        ("http://n2/", "completely different text about spark query "
+                       "engines operating at warehouse scale"),
+        ("http://n3/", "a genuinely novel document discussing parquet "
+                       "reader vectorization strategies in depth"),
+        ("http://n4/", "another brand new page about watermarking and "
+                       "stateful stream processing semantics"),
+    ]
+    wh.write_pages(_pages(spark, new_rows), "pages_new")
+    out2 = run_dedup.main(["--warehouse", wh_dir, "--mode", "decontaminate",
+                           "--pages-table", "pages_new",
+                           "--jaccard-threshold", "0.5"])
+    assert out2["docs_in"] == 4 and out2["docs_out"] == 2
+    kept = {r["url"] for r in
+            wh.read_pages("pages_deduped").select("url").collect()}
+    assert kept == {"http://n3/", "http://n4/"}
