@@ -417,3 +417,95 @@ def build_crawl_to_mix_dag() -> DAG:
                "Crawl segments to training-ready JSONL shards",
                [ingest_t, filter_t, dedup_t, census_t, export_t, notify_t],
                tags=["llm-data", "pipeline", "end-to-end"])
+
+
+def build_incremental_crawl_dag() -> DAG:
+    """Crawl wave N+1 against the accumulated corpus — the INCREMENTAL
+    variant of crawl_to_training_mix: ingest new segments → decontaminate
+    against the STORED signature index (near/exact copies of data the
+    corpus already holds never re-enter; wave 1 passes through when no
+    index exists yet) → quality filter → export the wave's clean docs →
+    extend the index with them, so wave N+2 decontaminates against this
+    wave too. The prior corpus's text is never re-read at any wave.
+
+    ctx in: spark, crawl_dir, warehouse_dir, out_dir; optional run_id,
+    index_table, jaccard_threshold, rates/default_rate/shards,
+    num_buckets, synth_segments / docs_per_segment.
+    """
+    import os as _os
+
+    def ingest(ctx):
+        from ..sources.warc import read_warc, warc_to_pages
+        from ..warehouse import Warehouse
+        spark = ctx["spark"]
+        if ctx.get("synth_segments"):
+            from jobs.run_warc_ingest import synth_segments
+            synth_segments(spark, ctx["crawl_dir"], ctx["synth_segments"],
+                           ctx.get("docs_per_segment", 200))
+        wh = Warehouse(spark, ctx["warehouse_dir"],
+                       num_buckets=ctx.get("num_buckets", 16))
+        run = ctx.get("run_id", "wave")
+        wh.write_pages(warc_to_pages(read_warc(spark, ctx["crawl_dir"])),
+                       table=f"pages_raw_{run}")
+        return {"wh": wh, "run": run,
+                "pages_in": wh.read_pages(f"pages_raw_{run}").count()}
+
+    def decontaminate(ctx):
+        from pyspark.sql import functions as F
+        from ..operators import dedup
+        spark, wh, run = ctx["spark"], ctx["wh"], ctx["run"]
+        raw = wh.read_pages(f"pages_raw_{run}").drop("bucket")
+        idx_path = _os.path.join(ctx["warehouse_dir"],
+                                 ctx.get("index_table", "signatures"))
+        if _os.path.isdir(idx_path) and any(
+                f.endswith(".parquet") for f in _os.listdir(idx_path)):
+            index = spark.read.parquet(idx_path)
+            flagged = dedup.neardup_against_index(
+                raw, index, text_col="text", id_col="url",
+                threshold=ctx.get("jaccard_threshold", 0.5)
+            ).select(F.col("new_id").alias("url")).distinct()
+            kept = raw.join(flagged, "url", "left_anti")
+        else:
+            kept = raw  # wave 1: nothing to decontaminate against
+        wh.write_pages(kept, table=f"pages_{run}")
+        return {"index_path": idx_path,
+                "pages_novel": wh.read_pages(f"pages_{run}").count()}
+
+    def filt(ctx):
+        from .pipeline import run_filter
+        run = ctx["run"]
+        return {"filter_summary": run_filter(
+            ctx["wh"], run, pages_table=f"pages_{run}",
+            clean_table=f"clean_{run}")}
+
+    def extend_index(ctx):
+        from ..operators import dedup
+        spark, wh, run = ctx["spark"], ctx["wh"], ctx["run"]
+        clean = wh.read_clean(f"clean_{run}").select("url", "text")
+        dedup.build_signature_index(clean, text_col="text", id_col="url") \
+            .write.mode("append").parquet(ctx["index_path"])
+        return {"index_docs": spark.read.parquet(
+            ctx["index_path"]).count()}
+
+    def export(ctx):
+        from jobs.export_training_mix import export_mix
+        return {"export_summary": export_mix(
+            ctx["spark"], ctx["wh"].read_clean(f"clean_{ctx['run']}"),
+            ctx["out_dir"], ctx.get("rates", {}), ctx.get("shards", 8),
+            default_rate=ctx.get("default_rate", 1.0))}
+
+    ingest_t = Task("ingest_wave", ingest)
+    decon_t = Task("decontaminate_vs_index", decontaminate)
+    filter_t = Task("filter_quality", filt)
+    index_t = Task("extend_signature_index", extend_index)
+    export_t = Task("export_wave_mix", export)
+    notify_t = Task("send_notification",
+                    _notify("incremental_crawl",
+                            ["pages_in", "pages_novel", "filter_summary",
+                             "index_docs", "export_summary"]))
+    ingest_t >> decon_t >> filter_t >> [index_t, export_t] >> notify_t
+    return DAG("incremental_crawl",
+               "Crawl wave ingest, decontaminate vs stored index, filter, "
+               "export, and index extension",
+               [ingest_t, decon_t, filter_t, index_t, export_t, notify_t],
+               tags=["llm-data", "pipeline", "incremental"])

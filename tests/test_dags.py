@@ -163,3 +163,50 @@ def test_crawl_to_mix_dag_executes_end_to_end(spark, tmp_path):
     back = spark.read.json(str(tmp_path / "mix"))
     assert back.count() == ctx["docs_deduped"]
     assert ctx["notifications"][-1]["dag_id"] == "crawl_to_training_mix"
+
+
+def test_incremental_crawl_dag_two_waves(spark, tmp_path):
+    """Two crawl waves through the incremental DAG: wave 1 builds the
+    signature index from nothing; wave 2 (a superset crawl re-containing
+    wave 1's docs) is decontaminated against it — the overlap never
+    re-enters, the index grows by exactly wave 2's clean docs."""
+    from data_quality_autohealer_spark.plans.dags import (
+        build_incremental_crawl_dag,
+    )
+
+    base = {
+        "spark": spark,
+        "warehouse_dir": str(tmp_path / "wh"),
+        "num_buckets": 4,
+        "shards": 4,
+    }
+    dag = build_incremental_crawl_dag()
+    w1 = dag.run({**base, "run_id": "w1",
+                  "crawl_dir": str(tmp_path / "crawl1"),
+                  "out_dir": str(tmp_path / "mix1"),
+                  "synth_segments": 2, "docs_per_segment": 100})
+    assert w1["pages_in"] == 200
+    # wave 1: no index yet -> nothing decontaminated
+    assert w1["pages_novel"] == 200
+    w1_clean = w1["filter_summary"]["docs_kept"]
+    assert 0 < w1_clean <= 200
+    assert w1["index_docs"] == w1_clean
+
+    # wave 2: same generator, more docs per segment -> ids 0..399, whose
+    # first 200 are byte-identical to wave 1's crawl
+    w2 = dag.run({**base, "run_id": "w2",
+                  "crawl_dir": str(tmp_path / "crawl2"),
+                  "out_dir": str(tmp_path / "mix2"),
+                  "synth_segments": 2, "docs_per_segment": 200})
+    assert w2["pages_in"] == 400
+    # every wave-1 clean doc reappears in wave 2's crawl and must be
+    # dropped by decontamination (plus near-dups); novel docs survive
+    assert 0 < w2["pages_novel"] <= 400 - w1_clean
+    w2_clean = w2["filter_summary"]["docs_kept"]
+    assert w2["index_docs"] == w1_clean + w2_clean
+    assert w2["export_summary"]["docs_out"] == w2_clean
+    assert ctx_last_dag_id(w2) == "incremental_crawl"
+
+
+def ctx_last_dag_id(ctx):
+    return ctx["notifications"][-1]["dag_id"]
