@@ -1201,6 +1201,13 @@ def _q_quality_strata(spark, sf_dir):
     return curation.quality_strata(df, "word_count", n_tiles=4)
 
 
+def _q_intra_doc_line_dedup(spark, sf_dir):
+    # within-document repeated-line removal (terminal-spam cleanup; the
+    # complement of corpus-level line_dedup). Round-4 — SURVEY §2.13.
+    return dedup.intra_doc_line_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_canonical_dedup(spark, sf_dir):
     # fuzzy-exact dedup: normalize (case/punct/whitespace) then hash —
     # catches variants byte-exact dedup misses. Round-4 — SURVEY §2.13.
@@ -1306,7 +1313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drop_summary": _q_drop_summary,
         "quality_confidence": _q_quality_confidence,
         "quality_severity_by_lang": _q_severity_by_lang,
-        "threshold_flip_docs": _q_threshold_flip_docs,
         "token_stats_by_lang": _q_token_stats,
         "langid_stopword_heuristic": _q_langid_stopword,
         "doc_fingerprint": _q_fingerprint,
@@ -1331,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "canonical_dedup_groups": _q_canonical_dedup,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "salted_event_stats": _q_salted_event_stats,
         "asof_join_events": _q_asof_join_events,
         "time_range_join_events": _q_time_range_join_events,
@@ -1375,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
+        "threshold_flip_docs": _q_threshold_flip_docs,
         "pipeline_full_decision": _q_pipeline_full,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
@@ -1592,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),
+        "intra_doc_line_dedup": dedup.duckdb_intra_doc_line_dedup_sql(),
         "pii_scrub": _oracle_pii_scrub(),
         "profile_documents": _oracle_profile_documents(),
         "outlier_iqr_lineitem": _oracle_outlier_iqr(),

@@ -258,6 +258,70 @@ def line_dedup(df: DataFrame, min_doc_count: int = 2,
                  .cast("long").alias("n_lines_dropped")))
 
 
+def intra_doc_line_dedup(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """WITHIN-document repeated-line removal (terminal-spam / template
+    cleanup — the other axis from corpus-level :func:`line_dedup`): keep
+    only the FIRST occurrence of each trimmed line inside a doc; blank
+    lines are formatting and always survive. Returns
+    (id, text_deduped, n_lines_dropped).
+
+    Scale shape: posexplode + one window per (doc, line-hash) — partition
+    keys include the doc id, so parallelism is per-document and no global
+    state exists; rebuild is the line_dedup groupBy."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn(
+        "lhash",
+        F.when(F.trim("line") != "",
+               F.expr(_hash_base("trim(line)", "spark"))))
+    w = Window.partitionBy(id_col, "lhash").orderBy("pos")
+    marked = keyed.withColumn(
+        "_keep", F.col("lhash").isNull()
+        | (F.row_number().over(w) == 1))
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"]),
+                    "\n").alias("text_deduped"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                 .cast("long").alias("n_lines_dropped")))
+
+
+def duckdb_intra_doc_line_dedup_sql(table: str = "documents",
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id") -> str:
+    lh = _hash_base("trim(line)", "duck")
+    return f"""
+        with l as (
+            select {id_col}, unnest(generate_series(1, len(ln))) as pos,
+                   unnest(ln) as line
+            from (select {id_col}, string_split({text_col}, chr(10)) as ln
+                  from {table})
+        ),
+        k as (select {id_col}, pos, line,
+                     case when trim(line) <> '' then {lh} end as lhash
+              from l),
+        m as (select {id_col}, pos, line,
+                     lhash is null
+                     or row_number() over (partition by {id_col}, lhash
+                                           order by pos) = 1 as keep
+              from k)
+        select {id_col},
+               coalesce(string_agg(case when keep then line end,
+                                   chr(10) order by pos), '')
+                   as text_deduped,
+               count(case when not keep then 1 end)::bigint
+                   as n_lines_dropped
+        from m group by {id_col}
+    """
+
+
 def duckdb_line_dedup_sql(table: str = "documents", min_doc_count: int = 2,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> str:

@@ -317,3 +317,24 @@ def test_signature_index_round_trip_equals_direct(spark, tmp_path):
     assert direct == via and len(via) > 0
     # the stored index carries only ids + buckets + hashed shingles
     assert set(back.columns) == {"doc_id", "buckets", "ngrams"}
+
+
+def test_intra_doc_line_dedup_keeps_first_occurrence(spark):
+    """Within-doc repeated lines collapse to their first occurrence in
+    order; blank lines always survive; other docs are untouched."""
+    from data_quality_autohealer_spark.operators.dedup import (
+        intra_doc_line_dedup,
+    )
+
+    docs = [
+        (0, "alpha\nbeta\nalpha\n\nbeta\ngamma"),
+        (1, "no repeats here\nat all"),
+        (2, "\n\n"),  # only blanks: all kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in intra_doc_line_dedup(df).collect()}
+    assert out[0]["text_deduped"] == "alpha\nbeta\n\ngamma"
+    assert out[0]["n_lines_dropped"] == 2
+    assert out[1]["text_deduped"] == "no repeats here\nat all"
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["text_deduped"] == "\n\n" and out[2]["n_lines_dropped"] == 0
