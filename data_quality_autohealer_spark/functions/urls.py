@@ -7,10 +7,23 @@ No reference analogue (the reference has no URL notion); engine-paired SQL
 builders in the repo's standard style so the driver's DuckDB oracle
 hash-checks the operator end-to-end.
 
+Tracking parameters are removed STRUCTURALLY — split the query string on
+'&', drop params whose NAME matches the tracking list (anchored, so
+``href=`` or ``xutm_source=`` are never touched), rejoin — rather than by
+substring regex surgery, which corrupts look-alike param names and fails
+to converge on adjacent tracking params. The default ':80' port strip
+applies to http URLs only (80 is not the https default) and covers both
+``:80/path`` and a bare ``:80`` authority.
+
 Portability (CLAUDE.md regex rules): no lookarounds, no backreferences
-(http/https www-stripping handled as two plain alternatives), special chars
-via character classes ([.], [?]); DuckDB regexp_replace needs the explicit
-'g' flag where Spark replaces globally by default.
+(http/https www-stripping handled as two plain alternatives), special
+chars via character classes ([.], [?]); DuckDB regexp_replace needs the
+explicit 'g' flag where Spark replaces globally by default.
+
+The returned expression references staged sub-expressions textually more
+than once (case branches); for a 10^12-row hot path, stage the
+intermediate columns per the CLAUDE.md multi-reference convention — for
+the oracle-checked projection this inline form is fine.
 """
 
 from __future__ import annotations
@@ -20,24 +33,36 @@ _TRACKING = "(utm_[a-z]+|fbclid|gclid|ref)"
 
 def canonical_url_sql(url: str, engine: str) -> str:
     """Canonical form of ``url`` (an SQL string expression), identical in
-    both engines: lowercase -> strip #fragment -> strip tracking params
-    (mid-query then query-final) -> drop empty '?' -> drop path slash
-    before '?' -> strip default :80 port -> strip www. -> strip one
-    trailing slash."""
+    both engines: lowercase -> strip #fragment -> structurally drop
+    tracking params (name-anchored) -> drop path slash before a surviving
+    '?' / drop an empty '?' -> strip default :80 port (http only) ->
+    strip www. -> strip one trailing slash."""
     g = ", 'g'" if engine == "duck" else ""
     e = f"lower({url})"
     e = f"regexp_replace({e}, '#.*$', ''{g})"
-    e = f"regexp_replace({e}, '{_TRACKING}=[^&]*&', ''{g})"
-    e = f"regexp_replace({e}, '[?&]{_TRACKING}=[^&]*$', ''{g})"
-    e = f"regexp_replace({e}, '[?]$', ''{g})"
-    e = f"regexp_replace({e}, '/[?]', '?'{g})"
-    # plain substring replace: also hits a literal ':80/' inside a path
-    # segment — accepted (rare, and a canonicalizer may normalize it);
-    # a backref-free authority-only variant would need scheme-specific
-    # alternation for no practical gain
-    e = f"replace({e}, ':80/', '/')"
-    e = (f"regexp_replace({e}, '^http://www[.]', 'http://'{g})")
-    e = (f"regexp_replace({e}, '^https://www[.]', 'https://'{g})")
+    base = f"regexp_replace({e}, '[?].*$', ''{g})"
+    if engine == "spark":
+        query = f"regexp_extract({e}, '[?](.*)$', 1)"
+        params = (f"filter(split({query}, '&'), "
+                  f"p -> p != '' and not regexp_like(p, '^{_TRACKING}='))")
+        kept = f"array_join({params}, '&')"
+    else:
+        query = f"coalesce(regexp_extract({e}, '[?](.*)$', 1), '')"
+        params = (f"list_filter(string_split({query}, '&'), "
+                  f"p -> p <> '' and not regexp_matches(p, '^{_TRACKING}='))")
+        # array_to_string of an empty list is NULL in DuckDB (the
+        # list_aggregate gotcha) — coalesce so the no-query branch fires
+        kept = f"coalesce(array_to_string({params}, '&'), '')"
+    e = (f"case when {kept} = '' then {base} "
+         f"else concat(regexp_replace({base}, '/$', ''{g}), '?', {kept}) "
+         f"end")
+    # :80 is the default for http ONLY; an https://...:80 is a genuinely
+    # non-default port and must stay distinct
+    e = (f"case when {e} like 'http://%' then "
+         f"regexp_replace(replace({e}, ':80/', '/'), ':80$', ''{g}) "
+         f"else {e} end")
+    e = f"regexp_replace({e}, '^http://www[.]', 'http://'{g})"
+    e = f"regexp_replace({e}, '^https://www[.]', 'https://'{g})"
     e = f"regexp_replace({e}, '/$', ''{g})"
     return e
 

@@ -108,12 +108,22 @@ def quality_strata(df: DataFrame, score_col: str, n_tiles: int = 4,
         qs = [i / n_tiles for i in range(1, n_tiles)]
         cuts = df.select(F.percentile_approx(
             score_col, qs, 10_000).alias("c")).first()["c"]
-        # bucket b (1-based) = first cut the score does not exceed;
-        # scores above every cut land in the top tile
-        b = F.lit(n_tiles)
-        for i in range(n_tiles - 2, -1, -1):
-            b = F.when(F.col(score_col) <= F.lit(cuts[i]), i + 1).otherwise(b)
-        tiled = df.withColumn("stratum", b.cast("int"))
+        if cuts is None:
+            # empty (or all-NULL-score) frame: percentile_approx yields
+            # NULL — return the same empty census the exact path produces
+            tiled = df.withColumn(
+                "stratum", F.lit(None).cast("int")).where(F.lit(False))
+        else:
+            # bucket b (1-based) = first cut the score does not exceed;
+            # scores above every cut land in the top tile. NULL scores sort
+            # FIRST under the exact path's ascending window (stratum 1) —
+            # mirror that, instead of falling through every <= to the top
+            b = F.lit(n_tiles)
+            for i in range(n_tiles - 2, -1, -1):
+                b = F.when(F.col(score_col) <= F.lit(cuts[i]), i + 1) \
+                    .otherwise(b)
+            b = F.when(F.col(score_col).isNull(), 1).otherwise(b)
+            tiled = df.withColumn("stratum", b.cast("int"))
     return (tiled.groupBy("stratum")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min(score_col).alias("min_score"),

@@ -457,9 +457,15 @@ def build_incremental_crawl_dag() -> DAG:
         raw = wh.read_pages(f"pages_raw_{run}").drop("bucket")
         idx_path = _os.path.join(ctx["warehouse_dir"],
                                  ctx.get("index_table", "signatures"))
-        if _os.path.isdir(idx_path) and any(
-                f.endswith(".parquet") for f in _os.listdir(idx_path)):
-            index = spark.read.parquet(idx_path)
+        has_index = _os.path.isdir(idx_path) and any(
+            f.endswith(".parquet")
+            for _r, _d, files in _os.walk(idx_path) for f in files)
+        if has_index:
+            # EXCLUDE this wave's own partition: a re-run (crash after
+            # extend_index, or plain replay) must not self-decontaminate
+            # against the docs it indexed last time — rerun-safety
+            index = (spark.read.parquet(idx_path)
+                     .where(F.col("wave") != run))
             flagged = dedup.neardup_against_index(
                 raw, index, text_col="text", id_col="url",
                 threshold=ctx.get("jaccard_threshold", 0.5)
@@ -482,8 +488,11 @@ def build_incremental_crawl_dag() -> DAG:
         from ..operators import dedup
         spark, wh, run = ctx["spark"], ctx["wh"], ctx["run"]
         clean = wh.read_clean(f"clean_{run}").select("url", "text")
+        # one hive-style partition per wave, OVERWRITTEN on re-run: the
+        # index never accumulates duplicate rows for a replayed wave
         dedup.build_signature_index(clean, text_col="text", id_col="url") \
-            .write.mode("append").parquet(ctx["index_path"])
+            .write.mode("overwrite") \
+            .parquet(_os.path.join(ctx["index_path"], f"wave={run}"))
         return {"index_docs": spark.read.parquet(
             ctx["index_path"]).count()}
 

@@ -106,11 +106,13 @@ def create_app(spark):
         def gen():
             # per-connection dedup: keyed on the FULL alert payload (not just
             # run/bucket) so a re-alert for the same bucket with a changed
-            # severity or drop_rate is pushed as a fresh event; bounded to
-            # the most recent runs so long-lived connections don't grow the
-            # set without limit
-            seen: dict = {}  # key -> run_id (insertion-ordered)
-            max_runs = 64
+            # severity or drop_rate is pushed as a fresh event. Keys whose
+            # run no longer appears in the table are evicted — the table is
+            # append-only, so an absent run can never re-emit (evicting
+            # PRESENT runs would re-push them every tick); connection
+            # memory therefore tracks the table's current contents, which
+            # each tick already materializes anyway.
+            seen: dict = {}  # key -> run_id
             tick = 0
             while True:
                 tick += 1
@@ -120,6 +122,10 @@ def create_app(spark):
                     yield ("event: error\ndata: "
                            + _json.dumps({"error": str(e)[:500]}) + "\n\n")
                     return
+                current_runs = {r["run_id"] for r in rows}
+                for k in [k for k, rid in seen.items()
+                          if rid not in current_runs]:
+                    del seen[k]
                 fresh = False
                 for r in rows:
                     key = (r["run_id"], r["bucket"],
@@ -127,12 +133,6 @@ def create_app(spark):
                     if key in seen:
                         continue
                     seen[key] = r["run_id"]
-                    run_ids = list(dict.fromkeys(seen.values()))
-                    if len(run_ids) > max_runs:
-                        stale = set(run_ids[:-max_runs])
-                        for k in [k for k, rid in seen.items()
-                                  if rid in stale]:
-                            del seen[k]
                     fresh = True
                     yield ("event: alert\ndata: "
                            + _json.dumps(_alert_payload(r)) + "\n\n")
@@ -154,8 +154,14 @@ def create_app(spark):
         # dependency-free single page over THIS service's SSE stream +
         # pull endpoints. Server-rendered template string: no static-file
         # serving, no build step, works from `python jobs/api_server.py`.
+        import json as _json
+
         from flask import Response as _Resp
         wh = request.args.get("warehouse", "")
+        # reflected value is embedded inside the inline <script>: JSON-
+        # encode it as a JS string literal and escape '<' so a crafted
+        # '</script>' in the query param cannot terminate the block (XSS)
+        wh_js = _json.dumps(wh).replace("<", "\\u003c")
         html = """<!doctype html>
 <html><head><meta charset="utf-8">
 <title>Data Quality Dashboard (PySpark rebuild)</title>
@@ -173,7 +179,7 @@ def create_app(spark):
 <table><thead><tr><th>run</th><th>bucket</th><th>severity</th>
 <th>drop rate</th></tr></thead><tbody id="alerts"></tbody></table>
 <script>
- const wh = new URLSearchParams(location.search).get('warehouse') || '%WH%';
+ const wh = new URLSearchParams(location.search).get('warehouse') || %WH%;
  fetch('/report?warehouse=' + encodeURIComponent(wh))
    .then(r => r.json())
    .then(t => { document.getElementById('totals').textContent =
@@ -198,7 +204,7 @@ def create_app(spark):
  es.onerror = () =>
    document.getElementById('status').textContent = 'disconnected';
 </script></body></html>"""
-        return _Resp(html.replace("%WH%", wh), mimetype="text/html")
+        return _Resp(html.replace("%WH%", wh_js), mimetype="text/html")
 
     @app.get("/report")
     def report():

@@ -85,6 +85,13 @@ def main(argv: list[str] | None = None) -> dict:
             pages, text_col="text", id_col="url",
             shingle_n=args.shingle_n, jaccard_n=args.jaccard_n
         ).write.mode("overwrite").parquet(idx_path)
+        # sidecar records the build parameters: buckets/shingles from a
+        # mismatched (k, rows_per_band, shingle_n, jaccard_n) never match,
+        # which would silently flag NOTHING — decontaminate checks this
+        with open(os.path.join(idx_path, "_sig_params.json"), "w") as f:
+            json.dump({"k": 8, "rows_per_band": 2,
+                       "shingle_n": args.shingle_n,
+                       "jaccard_n": args.jaccard_n}, f)
         n_idx = spark.read.parquet(idx_path).count()
         sec = round(time.perf_counter() - t0, 2)
         audit = spark.createDataFrame(
@@ -106,8 +113,20 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.mode == "decontaminate":
         # drop pages near-duplicating the STORED index (a prior corpus):
         # ref text is never read — the index carries buckets + shingles
-        index = spark.read.parquet(
-            os.path.join(args.warehouse, args.index_table))
+        idx_path = os.path.join(args.warehouse, args.index_table)
+        params_path = os.path.join(idx_path, "_sig_params.json")
+        if os.path.exists(params_path):
+            with open(params_path) as f:
+                stored = json.load(f)
+            mine = {"k": 8, "rows_per_band": 2,
+                    "shingle_n": args.shingle_n,
+                    "jaccard_n": args.jaccard_n}
+            if stored != mine:
+                raise ValueError(
+                    f"signature-index parameter mismatch: index built with "
+                    f"{stored}, decontaminate invoked with {mine} — "
+                    f"mismatched shingles/bands silently match nothing")
+        index = spark.read.parquet(idx_path)
         flagged = dedup.neardup_against_index(
             pages, index, text_col="text", id_col="url",
             shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,

@@ -144,4 +144,16 @@ def test_dashboard_page(client):
     body = r.get_data(as_text=True)
     assert "EventSource('/alerts/stream" in body
     assert "/report?warehouse=" in body
-    assert "/tmp/nowh" in body  # warehouse pre-wired from the query param
+    # warehouse pre-wired as a JSON-encoded JS string literal
+    assert '"/tmp/nowh"' in body
+
+
+def test_dashboard_escapes_reflected_param(client):
+    """The warehouse query param is reflected inside the inline <script>:
+    a crafted </script> payload must not break out of the string literal
+    (reflected XSS)."""
+    evil = "'</script><script>alert(1)</script>"
+    r = client.get("/dashboard", query_string={"warehouse": evil})
+    body = r.get_data(as_text=True)
+    assert "</script><script>alert(1)" not in body
+    assert "\\u003c/script" in body  # escaped form present instead

@@ -132,3 +132,22 @@ def test_token_budget_sample_semantics(spark):
     # unknown stratum with default_budget=0 selects nothing
     assert curation.token_budget_sample(
         df.withColumn("lang", F.lit("xx")), {"en": 120}).count() == 0
+
+
+def test_quality_strata_approx_empty_and_null_edges(spark):
+    """Review findings: the approx path must survive an empty frame (the
+    exact twin does) and must census NULL scores into stratum 1, matching
+    the exact path's NULLS-FIRST ascending window."""
+    empty = spark.createDataFrame([], "doc_id long, score int")
+    assert curation.quality_strata(empty, "score", n_tiles=4,
+                                   exact_ntile=False).count() == 0
+    rows = [(i, None if i < 5 else i) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score int")
+    exact = {r["stratum"]: r["n_docs"] for r in
+             curation.quality_strata(df, "score", n_tiles=4).collect()}
+    approx = {r["stratum"]: r["n_docs"] for r in
+              curation.quality_strata(df, "score", n_tiles=4,
+                                      exact_ntile=False).collect()}
+    # NULLs occupy the low stratum on both paths
+    assert exact[1] >= 5 and approx[1] >= 5
+    assert sum(exact.values()) == sum(approx.values()) == 100

@@ -207,6 +207,20 @@ def test_incremental_crawl_dag_two_waves(spark, tmp_path):
     assert w2["export_summary"]["docs_out"] == w2_clean
     assert ctx_last_dag_id(w2) == "incremental_crawl"
 
+    # REPLAY wave 2 (review finding: rerun-safety): the wave's own index
+    # partition is excluded from decontamination and overwritten, so the
+    # replay reproduces identical outputs and the index does NOT grow
+    w2b = dag.run({**base, "run_id": "w2",
+                   "crawl_dir": str(tmp_path / "crawl2"),
+                   "out_dir": str(tmp_path / "mix2b"),
+                   "synth_segments": 2, "docs_per_segment": 200})
+    assert w2b["pages_novel"] == w2["pages_novel"]
+    # run_filter RESUMES under the same run_id (docs_in 0 in the summary —
+    # nothing rescored); the clean table itself is unchanged
+    assert w2b["filter_summary"]["docs_in"] == 0
+    assert w2b["wh"].read_clean("clean_w2").count() == w2_clean
+    assert w2b["index_docs"] == w1_clean + w2_clean
+
 
 def ctx_last_dag_id(ctx):
     return ctx["notifications"][-1]["dag_id"]

@@ -247,7 +247,19 @@ def test_url_canonicalization_rules(spark):
          "http://host2.example/p/4?id=2"),
         ("http://host2.example/p/4?id=2&utm_campaign=a",
          "http://host2.example/p/4?id=2"),
-        ("https://www.host3.example:80/x/", "https://host3.example/x"),
+        # adjacent tracking params all drop (structural filter, not
+        # regex surgery that fails to converge)
+        ("http://host2.example/p?utm_a=1&utm_b=2&id=3",
+         "http://host2.example/p?id=3"),
+        # look-alike names are NOT tracking params and must survive intact
+        ("http://host6.example/p?href=x&id=2",
+         "http://host6.example/p?href=x&id=2"),
+        ("http://host6.example/p?xutm_source=1&id=4",
+         "http://host6.example/p?xutm_source=1&id=4"),
+        # :80 is default for http only; https://...:80 stays distinct
+        ("https://www.host3.example:80/x/", "https://host3.example:80/x"),
+        ("http://www.host3.example:80/x/", "http://host3.example/x"),
+        ("http://host7.example:80", "http://host7.example"),
         ("http://host4.example/p/9?id=1", "http://host4.example/p/9?id=1"),
         ("http://host5.example/a/?id=3", "http://host5.example/a?id=3"),
     ]

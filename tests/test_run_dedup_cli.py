@@ -85,3 +85,22 @@ def test_index_then_decontaminate_cli(spark, tmp_path):
     kept = {r["url"] for r in
             wh.read_pages("pages_deduped").select("url").collect()}
     assert kept == {"http://n3/", "http://n4/"}
+
+
+def test_decontaminate_rejects_mismatched_index_params(spark, tmp_path):
+    """An index built with different shingle params would silently match
+    nothing — the CLI must fail loudly instead (review finding)."""
+    import pytest
+
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    wh.write_pages(_pages(spark, [("http://r1/", "some reference page "
+                                   "text long enough for shingles")]))
+    run_dedup.main(["--warehouse", wh_dir, "--mode", "index",
+                    "--shingle-n", "4"])
+    wh.write_pages(_pages(spark, [("http://n1/", "a new page")]),
+                   "pages_new")
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_dedup.main(["--warehouse", wh_dir, "--mode", "decontaminate",
+                        "--pages-table", "pages_new"])  # default shingle 3
