@@ -1201,6 +1201,44 @@ def _q_quality_strata(spark, sf_dir):
     return curation.quality_strata(df, "word_count", n_tiles=4)
 
 
+def _q_bucket_skew(spark, sf_dir):
+    # storage-partition skew diagnostics: census of the hash-bucket layout
+    # (share + ratio vs the uniform ideal) — the observability twin of the
+    # pipeline's bucket(N, url) partitioning. Cross-engine md5 bucket (the
+    # production xxhash64 has no DuckDB twin). Round-4 — SURVEY §2.13.
+    from pyspark.sql.window import Window
+    hb = dedup._hash_base("cast(doc_id as string)", "spark")
+    n_buckets = 16
+    return (_docs(spark, sf_dir)
+            .selectExpr(f"({hb}) % {n_buckets} as bucket")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            # global window over the 16-row CENSUS (bounded by n_buckets,
+            # not the corpus) — not the corpus-sized single-partition sort
+            # the quality_strata exact path was flagged for
+            .withColumn("_total", F.sum("n_docs").over(
+                Window.partitionBy()))
+            .select("bucket", "n_docs",
+                    F.round(F.col("n_docs") / F.col("_total"), 6)
+                    .alias("share"),
+                    F.round(F.col("n_docs") * n_buckets / F.col("_total"),
+                            6).alias("skew_ratio")))
+
+
+def _oracle_bucket_skew() -> str:
+    hb = dedup._hash_base("doc_id::varchar", "duck")
+    n = 16
+    return f"""
+        with b as (select ({hb}) % {n} as bucket from documents),
+        c as (select bucket, count(*)::bigint as n_docs from b
+              group by bucket)
+        select bucket, n_docs,
+               round(n_docs / (sum(n_docs) over ()), 6) as share,
+               round(n_docs * {n} / (sum(n_docs) over ()), 6) as skew_ratio
+        from c
+    """
+
+
 def _q_intra_doc_line_dedup(spark, sf_dir):
     # within-document repeated-line removal (terminal-spam cleanup; the
     # complement of corpus-level line_dedup). Round-4 — SURVEY §2.13.
@@ -1313,7 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drop_summary": _q_drop_summary,
         "quality_confidence": _q_quality_confidence,
         "quality_severity_by_lang": _q_severity_by_lang,
-        "token_stats_by_lang": _q_token_stats,
+        "bucket_skew": _q_bucket_skew,
         "langid_stopword_heuristic": _q_langid_stopword,
         "doc_fingerprint": _q_fingerprint,
         "exact_dedup_groups": _q_exact_dedup,
@@ -1383,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_stats": _q_punct_stats,
         "zscore_outliers_events": _q_zscore_outliers,
         "threshold_flip_docs": _q_threshold_flip_docs,
+        "token_stats_by_lang": _q_token_stats,
         "pipeline_full_decision": _q_pipeline_full,
         # rows-only (model UDFs / LSH / approx — not ANSI-SQL-expressible):
         "profile_documents_approx": _q_profile_documents_approx,
@@ -1601,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),
         "intra_doc_line_dedup": dedup.duckdb_intra_doc_line_dedup_sql(),
+        "bucket_skew": _oracle_bucket_skew(),
         "pii_scrub": _oracle_pii_scrub(),
         "profile_documents": _oracle_profile_documents(),
         "outlier_iqr_lineitem": _oracle_outlier_iqr(),
