@@ -23,6 +23,8 @@ SUBSET = [
     "domain_quality", "snapshot_delta", "cross_corpus_neardup",
     "kmeans_embeddings", "sequence_pack", "readability", "lang_agreement",
     "pii_density_by_source", "line_dedup", "token_budget_sample",
+    "canonical_dedup_groups", "url_canonical_dedup",
+    "intra_doc_line_dedup", "bucket_skew",
 ]
 
 
