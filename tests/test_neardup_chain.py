@@ -350,3 +350,61 @@ def test_intra_doc_line_dedup_keeps_first_occurrence(spark):
     assert out[1]["text_deduped"] == "no repeats here\nat all"
     assert out[1]["n_lines_dropped"] == 0
     assert out[2]["text_deduped"] == "\n\n" and out[2]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_randomized_vs_bruteforce(spark):
+    """Randomized equivalence: line_dedup and intra_doc_line_dedup vs
+    independent pure-Python brute-force oracles over corpora drawn from a
+    small line vocabulary (guaranteeing heavy cross-doc and within-doc
+    duplication), three seeds."""
+    import random
+
+    from data_quality_autohealer_spark.operators.dedup import (
+        intra_doc_line_dedup, line_dedup,
+    )
+
+    vocab = [f"line {i}" for i in range(12)] + ["", "  "]
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        docs = [(i, "\n".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 8))))
+                for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # brute force corpus-level: lines (trimmed, non-blank) in >= 2
+        # distinct docs drop everywhere
+        from collections import defaultdict
+        doc_lines = {i: t.split("\n") for i, t in docs}
+        by_line = defaultdict(set)
+        for i, lines in doc_lines.items():
+            for ln in lines:
+                if ln.strip():
+                    by_line[ln.strip()].add(i)
+        dup = {ln for ln, ids in by_line.items() if len(ids) >= 2}
+        expect = {}
+        for i, lines in doc_lines.items():
+            kept = [ln for ln in lines if ln.strip() not in dup
+                    or not ln.strip()]
+            dropped = len(lines) - len(kept)
+            expect[i] = ("\n".join(kept), len(kept), dropped)
+        got = {r["doc_id"]: (r["text_deduped"], r["n_lines_kept"],
+                             r["n_lines_dropped"])
+               for r in line_dedup(df).collect()}
+        assert got == expect, f"line_dedup mismatch at seed {seed}"
+
+        # brute force intra-doc: first occurrence of each trimmed
+        # non-blank line survives
+        expect2 = {}
+        for i, lines in doc_lines.items():
+            seen, kept, dropped = set(), [], 0
+            for ln in lines:
+                key = ln.strip()
+                if not key or key not in seen:
+                    kept.append(ln)
+                    seen.add(key)
+                else:
+                    dropped += 1
+            expect2[i] = ("\n".join(kept), dropped)
+        got2 = {r["doc_id"]: (r["text_deduped"], r["n_lines_dropped"])
+                for r in intra_doc_line_dedup(df).collect()}
+        assert got2 == expect2, f"intra_doc mismatch at seed {seed}"
