@@ -1393,22 +1393,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        # --- slots 46-50: rotated INTO the driver's 50-row correctness
-        # window this round (the gate records only the first 50 registry
-        # entries; these 7 were oracle-green locally in r03 but had no
-        # driver-witnessed row — VERDICT r03 task #1). The 7 TPC-style
-        # queries they displaced (below, slots 51+) all carry green
-        # CORRECTNESS_r03 driver rows already; rotate per round.
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "contamination_check": _q_contamination_check,
-        "embedding_neardup_groups": _q_embedding_neardup_groups,
+        # --- slots 43-50: round-5 rotation (VERDICT r04 task #1). The four
+        # rows-only queries below had NEVER received a driver CORRECTNESS
+        # row (registry slots 68-71 in r04, outside the driver's 50-row
+        # window); rotated in so the driver records rows+schema for them
+        # (`no_oracle` hash is expected — each has an in-suite equality
+        # test against an oracle-checked twin). The four r04-green oracle
+        # queries they displaced (winnow_fingerprints, contamination_check,
+        # embedding_neardup_groups, top_terms_per_lang) parked at 51+.
         "pipeline_heuristic_decision": _q_pipeline_heuristic,
         "stratified_sample": _q_stratified_sample,
         "quality_strata": _q_quality_strata,
+        "quality_strata_approx": _q_quality_strata_approx,
+        "semantic_neardup_fast": _q_semantic_neardup_fast,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "neardup_via_index": _q_neardup_via_index,
+        # --- slots 51+: driver-witnessed green in r03/r04, parked outside
+        # the 50-row window (still oracle-checked by tools/check_oracle.py
+        # and the in-suite twin subset)
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "contamination_check": _q_contamination_check,
+        "embedding_neardup_groups": _q_embedding_neardup_groups,
         "top_terms_per_lang": _q_top_terms_per_lang,
-        # --- slots 51+: driver-witnessed green in r03, parked outside the
-        # 50-row window (still oracle-checked by tools/check_oracle.py and
-        # the in-suite twin subset)
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "winsorize_lineitem": _q_winsorize,
@@ -1427,10 +1433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
-        "semantic_neardup_fast": _q_semantic_neardup_fast,
-        "quality_strata_approx": _q_quality_strata_approx,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "neardup_via_index": _q_neardup_via_index,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,

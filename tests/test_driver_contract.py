@@ -22,9 +22,19 @@ def test_registry_shape():
     # oracle-checked majority: the gate's strength comes from hash checks
     assert len(o) >= 50
     # the driver's correctness gate records only the FIRST 50 registry
-    # entries (observed r02/r03): every slot in that window must carry an
-    # oracle twin, or a hash-checkable slot is wasted on a rows-only row
-    assert all(name in o for name in list(q)[:50])
+    # entries (observed r02/r03). Round-5 rotation (VERDICT r04 task #1):
+    # exactly these four rows-only queries sit inside the window so the
+    # driver witnesses rows+schema for them (`no_oracle` hash expected;
+    # each has an in-suite equality test against an oracle-checked twin).
+    # Every OTHER slot in the window must carry an oracle twin — a
+    # hash-checkable slot must never be wasted on an undocumented
+    # rows-only row.
+    rotated_rows_only = {"semantic_neardup_fast", "quality_strata_approx",
+                         "bloom_decontaminate", "neardup_via_index"}
+    window = list(q)[:50]
+    assert rotated_rows_only <= set(window)
+    assert all(name in o for name in window
+               if name not in rotated_rows_only)
 
 
 def test_every_oracle_sql_parses_in_duckdb():
