@@ -11,15 +11,27 @@ numpy/Arrow form.)
 Construction: values are hashed JVM-side with ``xxhash64`` (cheap, inside
 codegen), then each 64-bit value sets ``k`` bits via Kirsch-Mitzenmacher
 double hashing (g_i = h1 + i*h2 mod m — provably as good as k independent
-hashes). Each partition builds a local bit array in numpy and emits ONE
-packed-bytes row; the driver ORs the partials (bitwise OR is commutative
-and associative, so the result is independent of partitioning/scheduling —
-fully deterministic for a given item set and (m, k)).
+hashes). Each partition builds a local bit array in numpy, splits it into
+fixed CHUNKS and emits one (chunk_id, bytes) row per NON-ZERO chunk; a
+``groupBy(chunk_id).applyInPandas`` stage OR-reduces the partials
+executor-side, so the driver receives exactly m/8 bytes (one row per
+chunk) REGARDLESS of input partition count — the round-4 version shipped
+(num_partitions × m/8) bytes through the driver, which at 10^5 scan
+partitions is ~100 GiB. Bitwise OR is commutative and associative, so the
+result is independent of partitioning/scheduling — fully deterministic for
+a given item set and (m, k).
 
-Memory shape: the driver fence is (num_partitions × m/8) bytes streamed,
-m/8 retained; m = 2^23 bits = 1 MiB covers ~10^6 items at ~2% FPR with
-k=5. Size m ≈ 10 bits/item for ~1% FPR. Membership tests run as a
-vectorized pandas UDF with the bit array broadcast once per worker.
+Memory shape: shuffle ≤ (num_partitions × m/8) bytes (less when chunks
+stay all-zero), driver fence exactly m/8; m = 2^23 bits = 1 MiB covers
+~10^6 items at ~2% FPR with k=5. Size m ≈ 10 bits/item for ~1% FPR.
+Membership tests run as a vectorized pandas UDF with the bit array
+broadcast once per worker.
+
+NULL semantics (advice-r04): NULL values are NOT represented — the build
+side filters them out (xxhash64(NULL) is a constant, so one NULL row would
+otherwise alias EVERY null onto a single key) and the probe side reports
+``false`` for NULL inputs, i.e. decontamination always KEEPS null-text
+docs (the line_dedup convention: null is absence, not a value).
 
 Decontamination direction: false POSITIVES drop extra new docs — the safe
 direction for "never train on the reference set"; there are no false
@@ -48,14 +60,24 @@ def _bit_positions(h64: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 
 
 def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 23,
-                k: int = 5) -> np.ndarray:
+                k: int = 5, chunk_bytes: int = 1 << 16) -> np.ndarray:
     """Packed uint8 bit array (length m_bits/8) containing every
-    ``xxhash64(col)`` of ``df``. m_bits must be a multiple of 8."""
+    ``xxhash64(col)`` of ``df``'s non-NULL values. m_bits must be a
+    multiple of 8.
+
+    Two-stage executor-side reduce: per-partition partial bitmaps are
+    emitted as (chunk_id, chunk_bytes)-sized pieces (all-zero chunks
+    skipped) and OR-combined per chunk_id before the driver collects one
+    row per chunk — the driver fence is exactly m/8 bytes however many
+    partitions the build scan has."""
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
+    m_bytes = m_bits // 8
+    cb = min(chunk_bytes, m_bytes)
+    n_chunks = -(-m_bytes // cb)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        bits = np.zeros(m_bytes, dtype=np.uint8)
         saw = False
         for pdf in batches:
             saw = True
@@ -64,20 +86,41 @@ def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 23,
                              np.left_shift(np.uint8(1),
                                            (pos & 7).astype(np.uint8)))
         if saw:
-            yield pd.DataFrame({"bits": [bits.tobytes()]})
+            ids = [c for c in range(n_chunks)
+                   if bits[c * cb:(c + 1) * cb].any()]
+            if ids:
+                yield pd.DataFrame({
+                    "chunk_id": ids,
+                    "bits": [bits[c * cb:(c + 1) * cb].tobytes()
+                             for c in ids]})
 
-    rows = (df.select(F.xxhash64(F.col(col)).alias("_h"))
-            .mapInPandas(partials, schema="bits binary").collect())
-    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    def or_chunks(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"chunk_id": [int(pdf["chunk_id"].iloc[0])],
+                             "bits": [acc.tobytes()]})
+
+    rows = (df.where(F.col(col).isNotNull())
+            .select(F.xxhash64(F.col(col)).alias("_h"))
+            .mapInPandas(partials, schema="chunk_id int, bits binary")
+            .groupBy("chunk_id")
+            .applyInPandas(or_chunks, schema="chunk_id int, bits binary")
+            .collect())
+    out = np.zeros(m_bytes, dtype=np.uint8)
     for r in rows:
-        out |= np.frombuffer(r["bits"], dtype=np.uint8)
+        c = r["chunk_id"]
+        out[c * cb:c * cb + len(r["bits"])] = np.frombuffer(r["bits"],
+                                                            dtype=np.uint8)
     return out
 
 
 def might_contain(df: DataFrame, col: str, bloom_bits: np.ndarray,
                   k: int = 5, out_col: str = "_in_bloom") -> DataFrame:
     """Boolean column: every bit of the value's k probes is set (no false
-    negatives; false positives at the filter's design rate)."""
+    negatives; false positives at the filter's design rate). NULL values
+    test ``false`` — the build side never represents them (xxhash64(NULL)
+    is a constant that would alias all NULLs onto one key)."""
     bits = bloom_bits  # closure-shipped once per worker
     m_bits = len(bits) * 8
 
@@ -89,7 +132,9 @@ def might_contain(df: DataFrame, col: str, bloom_bits: np.ndarray,
                    & np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
             yield pd.Series((hit != 0).all(axis=1), index=h.index)
 
-    return df.withColumn(out_col, _test(F.xxhash64(F.col(col))))
+    return df.withColumn(out_col, F.when(
+        F.col(col).isNull(), F.lit(False)
+    ).otherwise(_test(F.xxhash64(F.col(col)))))
 
 
 def decontaminate_bloom(new_df: DataFrame, ref_df: DataFrame,
@@ -99,7 +144,9 @@ def decontaminate_bloom(new_df: DataFrame, ref_df: DataFrame,
     reference corpus: build the Bloom over ref once, filter new with NO
     shuffle (scan → xxhash64 → pandas-UDF probe → filter). The exact
     anti-join twin shuffles both sides; this touches the reference corpus
-    once and streams the new side. False positives only over-drop."""
+    once and streams the new side. False positives only over-drop.
+    NULL-``col`` docs are always KEPT (never representable in the filter;
+    see module doc)."""
     bloom = build_bloom(ref_df, col, m_bits, k)
     return (might_contain(new_df, col, bloom, k)
             .where(~F.col("_in_bloom")).drop("_in_bloom"))

@@ -35,6 +35,37 @@ def test_bits_independent_of_partitioning(spark):
     assert np.array_equal(a, b)
 
 
+def test_bits_independent_of_chunking(spark):
+    # the executor-side OR-reduce chunks the bitmap; the chunk size is a
+    # physical knob only — bits must be identical at any chunk_bytes,
+    # including one that doesn't divide m/8 and one bigger than m/8
+    df = _texts(spark, range(300)).repartition(7)
+    ref = bloom.build_bloom(df, "text", m_bits=1 << 16, k=4)
+    for cb in (1 << 20, 1000, 64):
+        assert np.array_equal(
+            ref, bloom.build_bloom(df, "text", m_bits=1 << 16, k=4,
+                                   chunk_bytes=cb)), cb
+
+
+def test_null_values_not_represented_and_kept(spark):
+    # advice-r04: xxhash64(NULL) is a constant — one NULL row in the
+    # reference must NOT drop every NULL-text doc in the new corpus.
+    # Build side filters NULLs; probe side reports false for NULLs.
+    ref = spark.createDataFrame(
+        [(0, None), (1, "ref body one"), (2, "ref body two")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, None), (11, None), (12, "ref body one"), (13, "fresh body")],
+        "doc_id long, text string")
+    bits = bloom.build_bloom(ref, "text", m_bits=1 << 16, k=4)
+    # bits for a NULL-only frame: nothing set at all
+    null_only = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert not bloom.build_bloom(null_only, "text", 1 << 16, 4).any()
+    kept = bloom.decontaminate_bloom(new, ref, "text", m_bits=1 << 16, k=4)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [10, 11, 13]  # NULLs kept, verbatim match dropped
+
+
 def test_decontaminate_drops_ref_docs_without_shuffle(spark):
     # ref = every 5th doc's text; decontamination must drop exactly those
     # (texts are unique per id, FPR ~0 at this m/n) and keep the rest
