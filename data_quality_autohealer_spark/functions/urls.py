@@ -15,10 +15,13 @@ to converge on adjacent tracking params. The default ':80' port strip
 applies to http URLs only (80 is not the https default) and covers both
 ``:80/path`` and a bare ``:80`` authority.
 
-Portability (CLAUDE.md regex rules): no lookarounds, no backreferences
-(http/https www-stripping handled as two plain alternatives), special
-chars via character classes ([.], [?]); DuckDB regexp_replace needs the
-explicit 'g' flag where Spark replaces globally by default.
+Portability (CLAUDE.md regex rules): no lookarounds; no backreferences in
+PATTERNS (http/https www-stripping handled as two plain alternatives) —
+the authority-anchored port strip is the one place REPLACEMENT group refs
+are used, emitted per engine ($1 Spark, \\1 DuckDB) since the builder
+knows which dialect it is generating; special chars via character classes
+([.], [?]); DuckDB regexp_replace needs the explicit 'g' flag where Spark
+replaces globally by default.
 
 The returned expression references staged sub-expressions textually more
 than once (case branches); for a 10^12-row hot path, stage the
@@ -57,10 +60,15 @@ def canonical_url_sql(url: str, engine: str) -> str:
          f"else concat(regexp_replace({base}, '/$', ''{g}), '?', {kept}) "
          f"end")
     # :80 is the default for http ONLY; an https://...:80 is a genuinely
-    # non-default port and must stay distinct
-    e = (f"case when {e} like 'http://%' then "
-         f"regexp_replace(replace({e}, ':80/', '/'), ':80$', ''{g}) "
-         f"else {e} end")
+    # non-default port and must stay distinct. Anchored to the AUTHORITY
+    # (advice-r04): a plain substring replace of ':80/' also rewrote path
+    # segments like /a:80/b and query values, wrongly merging distinct
+    # URLs. The one sanctioned backref exception: group refs differ per
+    # engine ($1 Spark, \1 DuckDB) but the builder knows the engine; the
+    # '^http://' anchor makes the http-only case-when redundant.
+    r1, r2 = ("$1", "$1$2") if engine == "spark" else (r"\1", r"\1\2")
+    e = f"regexp_replace({e}, '^(http://[^/?]*):80([/?])', '{r2}'{g})"
+    e = f"regexp_replace({e}, '^(http://[^/?]*):80$', '{r1}'{g})"
     e = f"regexp_replace({e}, '^http://www[.]', 'http://'{g})"
     e = f"regexp_replace({e}, '^https://www[.]', 'https://'{g})"
     e = f"regexp_replace({e}, '/$', ''{g})"

@@ -260,6 +260,12 @@ def test_url_canonicalization_rules(spark):
         ("https://www.host3.example:80/x/", "https://host3.example:80/x"),
         ("http://www.host3.example:80/x/", "http://host3.example/x"),
         ("http://host7.example:80", "http://host7.example"),
+        # advice-r04: the strip is anchored to the AUTHORITY — ':80' in a
+        # path segment or query value is data, not a port, and two URLs
+        # differing there must stay distinct
+        ("http://host8.example/a:80/b", "http://host8.example/a:80/b"),
+        ("http://host8.example:80/a:80/b?x=:80",
+         "http://host8.example/a:80/b?x=:80"),
         ("http://host4.example/p/9?id=1", "http://host4.example/p/9?id=1"),
         ("http://host5.example/a/?id=3", "http://host5.example/a?id=3"),
     ]
