@@ -632,6 +632,70 @@ def build_signature_index(df: DataFrame, text_col: str = "text",
                 ngrams))
 
 
+SIG_PARAMS_FILE = "_sig_params.json"
+
+
+def signature_index_params(k: int = 8, rows_per_band: int = 2,
+                           shingle_n: int = 3, jaccard_n: int = 3) -> dict:
+    """The parameter record a signature index is built under. An index
+    probed with MISMATCHED (k, rows_per_band, shingle_n, jaccard_n)
+    silently flags nothing — bucket strings and shingle hashes from
+    different parameters never collide — so every persisted index carries
+    this dict as a ``_sig_params.json`` sidecar and every reader checks it."""
+    return {"k": k, "rows_per_band": rows_per_band,
+            "shingle_n": shingle_n, "jaccard_n": jaccard_n}
+
+
+def write_signature_index(index_df: DataFrame, path: str,
+                          wave: str = "base",
+                          params: dict | None = None) -> None:
+    """Persist a :func:`build_signature_index` frame under the UNIFIED
+    layout every producer shares (advice-r04 — run_dedup --mode index used
+    to write a flat directory while the incremental-crawl DAG wrote
+    wave-partitioned, so mixing producers on one warehouse broke the DAG's
+    wave filter): one hive-style ``wave=<wave>`` partition, overwritten on
+    replay, plus the params sidecar written through the Hadoop FS
+    abstraction (works on file:/hdfs:/s3a: alike)."""
+    import json
+
+    from ..sources import fsio
+    index_df.write.mode("overwrite").parquet(f"{path}/wave={wave}")
+    fsio.write_text(index_df.sparkSession, f"{path}/{SIG_PARAMS_FILE}",
+                    json.dumps(params or signature_index_params()))
+
+
+def read_signature_index(spark, path: str, params: dict | None = None,
+                         exclude_wave: str | None = None) -> DataFrame:
+    """Open a persisted signature index, verifying its params sidecar
+    against ``params`` (defaults). A MISSING sidecar raises — silently
+    skipping the check is exactly how a parameter-mismatched
+    decontamination pass flags nothing (advice-r04). ``exclude_wave``
+    drops that wave's own partition (replay safety: a re-run must not
+    self-decontaminate against the docs it indexed last time)."""
+    import json
+
+    from ..sources import fsio
+    raw = fsio.read_text(spark, f"{path}/{SIG_PARAMS_FILE}")
+    if raw is None:
+        raise ValueError(
+            f"signature index at {path} has no {SIG_PARAMS_FILE} sidecar — "
+            f"cannot verify build parameters (an index probed with "
+            f"mismatched shingles/bands silently matches nothing). "
+            f"Rebuild it with write_signature_index / run_dedup --mode "
+            f"index, or write the sidecar explicitly.")
+    stored = json.loads(raw)
+    mine = params or signature_index_params()
+    if stored != mine:
+        raise ValueError(
+            f"signature-index parameter mismatch: index built with "
+            f"{stored}, read with {mine} — mismatched shingles/bands "
+            f"silently match nothing")
+    df = spark.read.parquet(path)
+    if exclude_wave is not None:
+        df = df.where(F.col("wave") != exclude_wave)
+    return df
+
+
 def _stacked_index_buckets(index_df: DataFrame, id_col: str,
                            max_bucket_size: int | None) -> DataFrame:
     """Explode a stored index's bucket arrays into the (id, bucket) stack

@@ -463,9 +463,11 @@ def build_incremental_crawl_dag() -> DAG:
         if has_index:
             # EXCLUDE this wave's own partition: a re-run (crash after
             # extend_index, or plain replay) must not self-decontaminate
-            # against the docs it indexed last time — rerun-safety
-            index = (spark.read.parquet(idx_path)
-                     .where(F.col("wave") != run))
+            # against the docs it indexed last time — rerun-safety.
+            # read_signature_index also verifies the params sidecar
+            # (advice-r04: fail loudly, never silently match nothing)
+            index = dedup.read_signature_index(spark, idx_path,
+                                               exclude_wave=run)
             flagged = dedup.neardup_against_index(
                 raw, index, text_col="text", id_col="url",
                 threshold=ctx.get("jaccard_threshold", 0.5)
@@ -489,10 +491,13 @@ def build_incremental_crawl_dag() -> DAG:
         spark, wh, run = ctx["spark"], ctx["wh"], ctx["run"]
         clean = wh.read_clean(f"clean_{run}").select("url", "text")
         # one hive-style partition per wave, OVERWRITTEN on re-run: the
-        # index never accumulates duplicate rows for a replayed wave
-        dedup.build_signature_index(clean, text_col="text", id_col="url") \
-            .write.mode("overwrite") \
-            .parquet(_os.path.join(ctx["index_path"], f"wave={run}"))
+        # index never accumulates duplicate rows for a replayed wave.
+        # write_signature_index is the same producer run_dedup --mode
+        # index uses (unified layout + params sidecar, advice-r04)
+        dedup.write_signature_index(
+            dedup.build_signature_index(clean, text_col="text",
+                                        id_col="url"),
+            ctx["index_path"], wave=run)
         return {"index_docs": spark.read.parquet(
             ctx["index_path"]).count()}
 

@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--index-table", default="signatures",
                    help="signature-index table name (written by --mode "
                         "index, read by --mode decontaminate)")
+    p.add_argument("--wave", default="base",
+                   help="wave partition label for --mode index (the "
+                        "unified wave-partitioned layout the incremental-"
+                        "crawl DAG shares)")
     p.add_argument("--shingle-n", type=int, default=3)
     p.add_argument("--jaccard-n", type=int, default=3)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
@@ -78,20 +82,20 @@ def main(argv: list[str] | None = None) -> dict:
 
     if args.mode == "index":
         # build + persist the near-dup signature index of THIS corpus:
-        # later crawls decontaminate against it without re-reading text
+        # later crawls decontaminate against it without re-reading text.
+        # Unified layout (advice-r04): always wave-partitioned (default
+        # wave 'base') + the params sidecar written through the Hadoop FS
+        # abstraction — identical to what the incremental-crawl DAG
+        # produces, so either producer's index serves either consumer
         t0 = time.perf_counter()
         idx_path = os.path.join(args.warehouse, args.index_table)
-        dedup.build_signature_index(
-            pages, text_col="text", id_col="url",
-            shingle_n=args.shingle_n, jaccard_n=args.jaccard_n
-        ).write.mode("overwrite").parquet(idx_path)
-        # sidecar records the build parameters: buckets/shingles from a
-        # mismatched (k, rows_per_band, shingle_n, jaccard_n) never match,
-        # which would silently flag NOTHING — decontaminate checks this
-        with open(os.path.join(idx_path, "_sig_params.json"), "w") as f:
-            json.dump({"k": 8, "rows_per_band": 2,
-                       "shingle_n": args.shingle_n,
-                       "jaccard_n": args.jaccard_n}, f)
+        dedup.write_signature_index(
+            dedup.build_signature_index(
+                pages, text_col="text", id_col="url",
+                shingle_n=args.shingle_n, jaccard_n=args.jaccard_n),
+            idx_path, wave=args.wave,
+            params=dedup.signature_index_params(
+                shingle_n=args.shingle_n, jaccard_n=args.jaccard_n))
         n_idx = spark.read.parquet(idx_path).count()
         sec = round(time.perf_counter() - t0, 2)
         audit = spark.createDataFrame(
@@ -112,21 +116,15 @@ def main(argv: list[str] | None = None) -> dict:
                                         id_col="url")
     elif args.mode == "decontaminate":
         # drop pages near-duplicating the STORED index (a prior corpus):
-        # ref text is never read — the index carries buckets + shingles
+        # ref text is never read — the index carries buckets + shingles.
+        # read_signature_index verifies the params sidecar and FAILS
+        # LOUDLY when it is absent (advice-r04: a skipped check is how a
+        # mismatched index silently flags nothing)
         idx_path = os.path.join(args.warehouse, args.index_table)
-        params_path = os.path.join(idx_path, "_sig_params.json")
-        if os.path.exists(params_path):
-            with open(params_path) as f:
-                stored = json.load(f)
-            mine = {"k": 8, "rows_per_band": 2,
-                    "shingle_n": args.shingle_n,
-                    "jaccard_n": args.jaccard_n}
-            if stored != mine:
-                raise ValueError(
-                    f"signature-index parameter mismatch: index built with "
-                    f"{stored}, decontaminate invoked with {mine} — "
-                    f"mismatched shingles/bands silently match nothing")
-        index = spark.read.parquet(idx_path)
+        index = dedup.read_signature_index(
+            spark, idx_path,
+            params=dedup.signature_index_params(
+                shingle_n=args.shingle_n, jaccard_n=args.jaccard_n))
         flagged = dedup.neardup_against_index(
             pages, index, text_col="text", id_col="url",
             shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,

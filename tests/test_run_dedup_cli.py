@@ -104,3 +104,59 @@ def test_decontaminate_rejects_mismatched_index_params(spark, tmp_path):
     with pytest.raises(ValueError, match="parameter mismatch"):
         run_dedup.main(["--warehouse", wh_dir, "--mode", "decontaminate",
                         "--pages-table", "pages_new"])  # default shingle 3
+
+
+def test_decontaminate_fails_loudly_without_sidecar(spark, tmp_path):
+    """advice-r04: a missing _sig_params.json used to silently SKIP the
+    parameter check (the exact failure it guards — an unverifiable index —
+    passed straight through). It now raises."""
+    import pytest
+
+    from data_quality_autohealer_spark.operators import dedup
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    pages = _pages(spark, [("http://r1/", "reference page text long "
+                            "enough for shingles to exist")])
+    wh.write_pages(pages)
+    # legacy FLAT index with no sidecar (what a pre-unification producer
+    # or a hand-copied parquet dir looks like)
+    dedup.build_signature_index(
+        wh.read_pages(), text_col="text", id_col="url"
+    ).write.mode("overwrite").parquet(str(tmp_path / "wh" / "signatures"))
+    wh.write_pages(pages, "pages_new")
+    with pytest.raises(ValueError, match="no _sig_params.json"):
+        run_dedup.main(["--warehouse", wh_dir, "--mode", "decontaminate",
+                        "--pages-table", "pages_new"])
+
+
+def test_cli_index_layout_matches_dag_layout(spark, tmp_path):
+    """advice-r04 unification: run_dedup --mode index writes the SAME
+    wave-partitioned layout + sidecar the incremental-crawl DAG produces,
+    so the DAG-style reader (wave filter included) consumes a CLI-written
+    index directly."""
+    from data_quality_autohealer_spark.operators import dedup
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    wh.write_pages(_pages(spark, [
+        ("http://r1/", "the cat sat on the mat and looked at the dog "
+                       "while it rained outside"),
+        ("http://r2/", "completely different text about spark query "
+                       "engines operating at scale"),
+    ]))
+    run_dedup.main(["--warehouse", wh_dir, "--mode", "index"])
+    idx = dedup.read_signature_index(
+        spark, f"{wh_dir}/signatures", exclude_wave="wave-7")
+    assert set(idx.columns) >= {"url", "buckets", "ngrams", "wave"}
+    assert idx.count() == 2  # wave filter keeps the CLI's 'base' wave
+    assert idx.where("wave = 'base'").count() == 2
+    # and a DAG-style second wave lands beside it without clobbering
+    dedup.write_signature_index(
+        dedup.build_signature_index(wh.read_pages(), text_col="text",
+                                    id_col="url"),
+        f"{wh_dir}/signatures", wave="wave-7")
+    both = dedup.read_signature_index(spark, f"{wh_dir}/signatures")
+    assert both.count() == 4
+    assert dedup.read_signature_index(
+        spark, f"{wh_dir}/signatures", exclude_wave="wave-7").count() == 2
