@@ -38,19 +38,37 @@ KAFKA_WIRE_DDL = ("key binary, value binary, topic string, partition int, "
                   "offset long, timestamp timestamp, timestampType int")
 
 
-def decode_kafka_frame(raw: DataFrame) -> DataFrame:
+def decode_kafka_frame(raw: DataFrame, drop_corrupt: bool = True) -> DataFrame:
     """PURE projection from the Kafka wire frame (key/value binary + topic
     metadata) to PAGES_SCHEMA rows: JSON-decode ``value`` (binary html rides
     as base64 inside the JSON, from_json's BinaryType convention).
+
+    Corrupt-frame semantics (documented, tests/test_streaming.py):
+
+    * an UNPARSEABLE value (not JSON / wrong root type) decodes to a null
+      struct — dropped when ``drop_corrupt`` (the default; a poison
+      message must not surface as an all-null page), kept as an all-null
+      row with ``drop_corrupt=False`` for dead-letter auditing;
+    * a parseable value MISSING fields yields nulls in those fields only —
+      except a null ``url``, which is also dropped under ``drop_corrupt``
+      (url is the document identity: bucketing, dedup and resume all key
+      on it; a null-url page is unusable downstream);
+    * extra/unknown JSON fields are ignored (from_json schema projection);
+    * key/partition/offset metadata never participate — decode is
+      invariant under re-keying or re-partitioning of the topic.
 
     Factored out of :func:`stream_pages_from_kafka` so the decode is
     testable without a Kafka broker — batch/file/memory sources drive it
     against KAFKA_WIRE_DDL-shaped frames (tests/test_streaming.py), and the
     real Kafka source applies the very same function.
     """
-    return (raw.select(
+    decoded = raw.select(
         F.from_json(F.col("value").cast("string"), PAGES_SCHEMA_DDL)
-        .alias("page")).select("page.*"))
+        .alias("page"))
+    if drop_corrupt:
+        decoded = decoded.where(F.col("page").isNotNull()
+                                & F.col("page.url").isNotNull())
+    return decoded.select("page.*")
 
 
 def encode_kafka_frame(pages: DataFrame,

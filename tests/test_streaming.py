@@ -185,6 +185,89 @@ def test_kafka_wire_decode_roundtrip(spark):
         assert bytes(r["html"] or b"") == bytes(o["html"] or b"")
 
 
+def _mixed_wire_frames(spark):
+    """10 valid wire frames + 5 corrupt + 1 field-missing, as one frame.
+    Returns (wire_df, valid_urls, partial_url)."""
+    import json as _json
+
+    pages = synth.gen_pages_df(spark, 10, num_partitions=1)
+    good = [tuple(r) for r in
+            stream_filter.encode_kafka_frame(pages).collect()]
+    ts = good[0][5]
+    corrupt_values = [b"not json {", b"[1,2,3]", b"42", b"{}",
+                      b'{"text": "orphan, no url", "lang": "en"}']
+    bad = [(b"k", v, "t", 0, 1000 + i, ts, 0)
+           for i, v in enumerate(corrupt_values)]
+    # parseable frame MISSING fields: strip html+lang from a valid value
+    d = _json.loads(bytes(good[0][1]))
+    partial_url = d["url"] + "#partial"
+    d["url"] = partial_url
+    for k in ("html", "lang"):
+        d.pop(k, None)
+    partial = (b"k", _json.dumps(d).encode(), "t", 0, 2000, ts, 0)
+    wire = spark.createDataFrame(good + bad + [partial],
+                                 stream_filter.KAFKA_WIRE_DDL)
+    valid_urls = {r["url"] for r in pages.select("url").collect()}
+    return wire, valid_urls, partial_url
+
+
+def test_kafka_wire_corrupt_frames_drop_and_null_semantics(spark):
+    """Negative path (VERDICT-r04 task 4): poison messages — not-JSON,
+    wrong JSON root type, empty object, url-less object — are DROPPED by
+    default; a parseable value missing OTHER fields survives with nulls in
+    just those fields; drop_corrupt=False retains the poison rows as
+    all-null pages for dead-letter auditing."""
+    wire, valid_urls, partial_url = _mixed_wire_frames(spark)
+
+    decoded = stream_filter.decode_kafka_frame(wire).collect()
+    assert {r["url"] for r in decoded} == valid_urls | {partial_url}
+    partial_rows = [r for r in decoded if r["url"] == partial_url]
+    assert len(partial_rows) == 1
+    assert partial_rows[0]["html"] is None  # missing field -> null
+    assert partial_rows[0]["lang"] is None
+    assert partial_rows[0]["text"] is not None  # present fields intact
+
+    audit = stream_filter.decode_kafka_frame(wire, drop_corrupt=False)
+    rows = audit.collect()
+    assert len(rows) == 16  # nothing dropped
+    assert sum(1 for r in rows if r["url"] is None) == 5  # the poison set
+
+
+def test_kafka_wire_decode_invariant_under_rekeying(spark):
+    """decode is a pure projection of `value`: re-keying, re-partitioning
+    and offset-rewriting the topic must not change the decoded pages (the
+    untested failure mode of a broker-side repartition)."""
+    wire, valid_urls, partial_url = _mixed_wire_frames(spark)
+    rekeyed = wire.select(
+        F.md5(F.col("value").cast("string")).cast("binary").alias("key"),
+        "value", F.lit("other-topic").alias("topic"),
+        (F.col("partition") + 7).alias("partition"),
+        (F.col("offset") * 31 + 5).alias("offset"),
+        "timestamp", "timestampType").repartition(5)
+    base = {tuple(r) for r in stream_filter.decode_kafka_frame(wire)
+            .collect()}
+    got = {tuple(r) for r in stream_filter.decode_kafka_frame(rekeyed)
+           .collect()}
+    assert got == base
+
+
+def test_kafka_wire_corrupt_frames_stream_equals_batch(spark, tmp_path):
+    """The documented drop behavior holds identically through a streaming
+    micro-batch plan (file source standing in for the broker)."""
+    wire, valid_urls, partial_url = _mixed_wire_frames(spark)
+    wire_dir = str(tmp_path / "wire_corrupt")
+    wire.write.parquet(wire_dir)
+    raw = (spark.readStream.schema(stream_filter.KAFKA_WIRE_DDL)
+           .option("maxFilesPerTrigger", 1).parquet(wire_dir))
+    q = (stream_filter.decode_kafka_frame(raw)
+         .writeStream.format("memory").queryName("kafka_corrupt_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["url"] for r in
+           spark.sql("select url from kafka_corrupt_t").collect()}
+    assert got == valid_urls | {partial_url}
+
+
 def test_kafka_wire_decode_feeds_scorer_in_streaming(spark, tmp_path):
     """kafka-shaped frames → decode → the SAME batch scorer, end-to-end as
     a stream (file source standing in for the broker with the identical
