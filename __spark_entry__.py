@@ -1326,6 +1326,39 @@ def _q_bloom_decontaminate(spark, sf_dir):
                                      "text")
 
 
+def _q_decontaminate_chain(spark, sf_dir):
+    # FULL decontamination composition, in the order an incremental corpus
+    # refresh runs it (VERDICT-r04 task 5): exact pass first (Bloom over
+    # the reference texts — O(1) memory, shuffle-free probe, false
+    # positives only over-drop), then the fuzzy pass (near-dup vs the
+    # reference's STORED signature index) over the exact survivors only —
+    # the cheap filter shrinks the candidate set before the band join.
+    # Returns one row per new doc with the stage that claimed it
+    # ('bloom_exact' | 'neardup' | 'kept'); the stages PARTITION the
+    # input (bloom_dropped + neardup_dropped + kept = docs_in, asserted
+    # in tests/test_neardup_chain.py). Rows-only: the Bloom probe is not
+    # SQL-expressible; each stage alone is verified against its twin
+    # (bloom_decontaminate, neardup_via_index / cross_corpus_neardup).
+    from data_quality_autohealer_spark.operators import bloom
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.where("doc_id % 3 = 0")
+    new = docs.where("doc_id % 3 != 0")
+    exact_kept = bloom.decontaminate_bloom(new, ref, "text")
+    index = dedup.build_signature_index(ref)
+    fuzzy_flagged = (dedup.neardup_against_index(
+        exact_kept, index, threshold=_CROSS_NEARDUP_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id")).distinct()
+        .withColumn("_fz", F.lit(1)))
+    return (new.select("doc_id")
+            .join(exact_kept.select("doc_id", F.lit(1).alias("_s1")),
+                  "doc_id", "left")
+            .join(fuzzy_flagged, "doc_id", "left")
+            .select("doc_id", F.expr(
+                "case when _s1 is null then 'bloom_exact' "
+                "when _fz is not null then 'neardup' "
+                "else 'kept' end").alias("stage")))
+
+
 def _q_quality_strata_approx(spark, sf_dir):
     # the SCALE path for quality stratification (rows-only): percentile_
     # approx cut points + shuffle-free per-row bucket lookup — no global
@@ -1433,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
+        "decontaminate_chain": _q_decontaminate_chain,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,

@@ -414,3 +414,48 @@ def test_line_dedup_randomized_vs_bruteforce(spark):
         got2 = {r["doc_id"]: (r["text_deduped"], r["n_lines_dropped"])
                 for r in intra_doc_line_dedup(df).collect()}
         assert got2 == expect2, f"intra_doc mismatch at seed {seed}"
+
+
+def test_decontaminate_chain_stages_partition_the_input(spark):
+    """decontaminate_chain reconciliation (VERDICT-r04 task 5): the exact
+    (Bloom) and fuzzy (stored-index near-dup) stages PARTITION the new
+    corpus — bloom_dropped + neardup_dropped + kept = docs_in — and each
+    stage agrees with its independently-verified twin: every verbatim
+    text match is claimed by the Bloom stage (no false negatives), and
+    the neardup stage equals neardup_against_index run over the exact
+    survivors."""
+    import __spark_entry__ as entry_mod
+    from data_quality_autohealer_spark.operators import bloom as bloom_mod
+    from data_quality_autohealer_spark.operators import dedup as dedup_mod
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = entry_mod.queries()["decontaminate_chain"](spark, sf_dir)
+    rows = out.collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], set()).add(r["doc_id"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    new = docs.where("doc_id % 3 != 0")
+    ref = docs.where("doc_id % 3 = 0")
+    n_in = new.count()
+    # stages partition the input: disjoint, exhaustive, one row per doc
+    assert len(rows) == n_in
+    assert sum(len(s) for s in by_stage.values()) == n_in
+    # no false negatives: every new doc whose text appears VERBATIM in the
+    # reference must be claimed by the exact stage
+    verbatim = {r["doc_id"] for r in
+                new.join(ref.select("text").distinct(), "text").collect()}
+    assert verbatim <= by_stage.get("bloom_exact", set())
+    # exact stage ≡ its standalone twin
+    bloom_kept = {r["doc_id"] for r in bloom_mod.decontaminate_bloom(
+        new, ref, "text").select("doc_id").collect()}
+    assert by_stage.get("bloom_exact", set()) == \
+        {r["doc_id"] for r in new.select("doc_id").collect()} - bloom_kept
+    # fuzzy stage ≡ neardup_against_index over the exact survivors
+    survivors1 = new.where(~new.doc_id.isin(
+        list(by_stage.get("bloom_exact", set()))))
+    flagged = {r["new_id"] for r in dedup_mod.neardup_against_index(
+        survivors1, dedup_mod.build_signature_index(ref),
+        threshold=0.5).select("new_id").collect()}
+    assert by_stage.get("neardup", set()) == flagged
