@@ -106,3 +106,52 @@ def test_semantic_neardup_fast_matches_oracle_chain(spark):
     assert set(exact) == set(fast) and len(exact) > 0
     for pair, sim in exact.items():
         assert abs(sim - fast[pair]) <= 1e-6
+
+
+@pytest.mark.parametrize("sf,k,iters,threshold", [
+    ("sf0.001", 6, 2, 0.30),
+    ("sf0.001", 10, 3, 0.25),
+    ("sf0.01", 8, 2, 0.30),
+])
+def test_semantic_neardup_fast_recall_floor(spark, sf, k, iters, threshold):
+    """VERDICT-r04 task 7: a quantified recall FLOOR for the GEMM SemDeDup
+    chain across configs (two SFs, varied k/iters/threshold), mirroring
+    the LSH chain's quantified recall. The exact-equality test above pins
+    today's kernel at one config; this bound (recall and precision ≥ 0.95
+    vs an independent numpy float64 baseline) is what future k/cluster/
+    chunk changes must not break."""
+    import numpy as np
+
+    from data_quality_autohealer_spark.operators import similarity
+
+    emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+    # independent exact baseline: fold-path cluster blocking + full
+    # float64 pairwise cosine per cluster in numpy (no Spark expressions
+    # shared with the path under test)
+    assign = {r["vec_id"]: r["cluster"]
+              for r in kmeans_assign(emb, k=k, iters=iters).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+            for r in emb.select("vec_id", "embedding").collect()}
+    exact = set()
+    by_cluster = {}
+    for vid, c in assign.items():
+        by_cluster.setdefault(c, []).append(vid)
+    for members in by_cluster.values():
+        members.sort()
+        m = np.stack([vecs[v] / np.linalg.norm(vecs[v]) for v in members])
+        sims = m @ m.T
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if round(sims[i, j], 6) >= threshold:
+                    exact.add((members[i], members[j]))
+    assert exact, "baseline found no pairs — config too strict to test"
+
+    clusters = kmeans_assign(emb, k=k, iters=iters, gemm=True)
+    blocked = emb.select("vec_id", "embedding").join(clusters, "vec_id")
+    fast = {(r["id_a"], r["id_b"]) for r in
+            similarity.embedding_near_dup_pairs_fast(
+                blocked, threshold, block_col="cluster").collect()}
+    recall = len(exact & fast) / len(exact)
+    precision = len(exact & fast) / max(len(fast), 1)
+    assert recall >= 0.95, f"recall {recall:.3f} on {len(exact)} pairs"
+    assert precision >= 0.95, f"precision {precision:.3f}"
