@@ -1359,6 +1359,86 @@ def _q_decontaminate_chain(spark, sf_dir):
                 "else 'kept' end").alias("stage")))
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    # corpus-wide n-gram novelty per doc (round 5): fraction of a doc's
+    # distinct hashed 3-grams appearing in NO other doc — the document-
+    # granularity boilerplate signal (line_dedup's census shape: 60-bit
+    # hashes only ever cross the shuffle).
+    return dedup.ngram_novelty(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _oracle_ngram_novelty() -> str:
+    return dedup.duckdb_ngram_novelty_sql("documents")
+
+
+def _q_charset_quality(spark, sf_dir):
+    # character-class quality signals (round 5): non-ASCII / digit /
+    # uppercase / whitespace ratios — pure counting exprs, engine-paired
+    # from one builder (functions/text_heuristics.charset_signal_sql)
+    sigs = th.charset_signal_sql("text", "spark")
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", *[f"{sql} as {name}" for name, sql in sigs.items()])
+
+
+def _oracle_charset_quality() -> str:
+    sigs = th.charset_signal_sql("text", "duck")
+    cols = ", ".join(f"{sql} as {name}" for name, sql in sigs.items())
+    return f"select doc_id, {cols} from documents"
+
+
+def _q_dup_cluster_histogram(spark, sf_dir):
+    # duplicate-cluster size census (round 5): the one-glance duplication
+    # profile of a crawl — two algebraic aggs over md5 hashes. The synth
+    # documents table is dup-free, so the corpus re-inserts every 7th doc
+    # (id-shifted) deterministically — the histogram then shows both the
+    # singleton mass and the planted 2-clusters in BOTH engines.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where("doc_id % 7 = 0")
+        .selectExpr("doc_id + 1000000 as doc_id", "text"))
+    return dedup.dup_cluster_histogram(corpus)
+
+
+def _oracle_dup_cluster_histogram() -> str:
+    corpus = ("(select doc_id, text from documents "
+              "union all "
+              "select doc_id + 1000000 as doc_id, text from documents "
+              "where doc_id % 7 = 0)")
+    return dedup.duckdb_dup_cluster_histogram_sql(corpus)
+
+
+def _q_boilerplate_by_source(spark, sf_dir):
+    # source-level curation view over ngram_novelty (round 5): which
+    # sources are template farms. Mean carried in exact 1e6-scaled ints
+    # (double accumulation order flips the last ulp between engines —
+    # CLAUDE.md money-sum rule).
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    nov = dedup.ngram_novelty(docs)
+    return (docs.join(nov, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.expr(
+                     "cast(round(novel_frac * 1e6, 0) as bigint)"))
+                 .alias("_su"))
+            .select("source", "n_docs",
+                    F.expr("round(cast(_su as double) / "
+                           "(cast(n_docs as double) * 1e6), 6)")
+                    .alias("mean_novelty")))
+
+
+def _oracle_boilerplate_by_source() -> str:
+    nov = dedup.duckdb_ngram_novelty_sql("documents")
+    return f"""
+        with nov as ({nov})
+        select d.source,
+               count(*)::bigint as n_docs,
+               round((sum(round(n.novel_frac * 1e6, 0)::bigint))::double
+                     / (count(*)::double * 1e6), 6) as mean_novelty
+        from documents d join nov n using (doc_id)
+        group by d.source
+    """
+
+
 def _q_quality_strata_approx(spark, sf_dir):
     # the SCALE path for quality stratification (rows-only): percentile_
     # approx cut points + shuffle-free per-row bucket lookup — no global
@@ -1410,16 +1490,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "salted_event_stats": _q_salted_event_stats,
-        "asof_join_events": _q_asof_join_events,
+        # round-5 additions in-window (displacing asof_join_events,
+        # snapshot_delta, sequence_pack, readability — all r04-green,
+        # parked at 51+ and still covered by check_oracle + the in-suite
+        # twin subset)
+        "ngram_novelty": _q_ngram_novelty,
+        "charset_quality": _q_charset_quality,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "boilerplate_by_source": _q_boilerplate_by_source,
         "time_range_join_events": _q_time_range_join_events,
         "lexical_diversity": _q_lexical_diversity,
         "domain_quality": _q_domain_quality,
-        "snapshot_delta": _q_snapshot_delta,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_neardup": _q_semantic_neardup,
-        "sequence_pack": _q_sequence_pack,
-        "readability": _q_readability,
         "lang_agreement": _q_lang_agreement,
         "pii_density_by_source": _q_pii_density_by_source,
         "url_quality": _q_url_quality,
@@ -1448,6 +1532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination_check,
         "embedding_neardup_groups": _q_embedding_neardup_groups,
         "top_terms_per_lang": _q_top_terms_per_lang,
+        "asof_join_events": _q_asof_join_events,
+        "snapshot_delta": _q_snapshot_delta,
+        "sequence_pack": _q_sequence_pack,
+        "readability": _q_readability,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "winsorize_lineitem": _q_winsorize,
@@ -1675,6 +1763,10 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),
+        "ngram_novelty": _oracle_ngram_novelty(),
+        "charset_quality": _oracle_charset_quality(),
+        "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
+        "boilerplate_by_source": _oracle_boilerplate_by_source(),
         "intra_doc_line_dedup": dedup.duckdb_intra_doc_line_dedup_sql(),
         "bucket_skew": _oracle_bucket_skew(),
         "pii_scrub": _oracle_pii_scrub(),

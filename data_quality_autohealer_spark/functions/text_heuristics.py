@@ -400,3 +400,44 @@ def duckdb_reasons_sql(conditions: dict[str, str]) -> str:
         f"case when {cond} then '{code}' end" for code, cond in conditions.items()
     )
     return f"list_sort(list_filter([{parts}], x -> x is not null))"
+
+
+def charset_signal_sql(text_col: str = "text", engine: str = "spark"
+                       ) -> dict[str, str]:
+    """Character-class quality signals (round 5): non-ASCII ratio (mojibake
+    / encoding-artifact proxy — legitimate non-Latin text also scores, so
+    this is a FEATURE for per-language calibration, not a drop rule on its
+    own), digit ratio (SEO spam / data dumps), uppercase ratio (shouting),
+    whitespace ratio (layout scraping artifacts). All pure char-counting
+    expressions, 6dp, zero-guarded; engine-paired from one builder so the
+    DuckDB oracle checks them end-to-end.
+
+    Counting method per engine: Spark ``regexp_count``; DuckDB has no
+    regexp_count, so count = chars removed by ``regexp_replace(..., 'g')``
+    (exactly one char per match for single-char classes).
+    """
+    t = f"coalesce({text_col}, '')"
+    chars = f"length({t})"
+    if engine == "spark":
+        ws = _WS_CLASS_SPARK
+        non_ascii = "[^ -~\\\\t\\\\n\\\\r]"
+
+        def cnt(pat: str) -> str:
+            return f"regexp_count({t}, '{pat}')"
+    else:
+        ws = _WS_CLASS_DUCK
+        non_ascii = "[^ -~\\t\\n\\r]"
+
+        def cnt(pat: str) -> str:
+            return f"({chars} - length(regexp_replace({t}, '{pat}', '', 'g')))"
+
+    def ratio(pat: str) -> str:
+        return (f"case when {chars} = 0 then cast(0.0 as double) "
+                f"else round(cast({cnt(pat)} as double) / {chars}, 6) end")
+
+    return {
+        "non_ascii_ratio": ratio(non_ascii),
+        "digit_ratio": ratio("[0-9]"),
+        "upper_ratio": ratio("[A-Z]"),
+        "ws_ratio": ratio(f"{ws}"),
+    }

@@ -1031,3 +1031,91 @@ def duckdb_simhash_sql(table: str = "documents", text_col: str = "text",
         )
         select {id_col}, ({fp})::int as simhash from sums
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide n-gram novelty + duplicate-cluster census (round 5)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-doc corpus-novelty score: the fraction of a document's DISTINCT
+    hashed word n-grams that appear in no other document. Low novelty ≈
+    boilerplate/template pages (the document-granularity complement of
+    line_dedup's line census) — a standard web-curation ranking signal.
+
+    Scale shape (the line_dedup discipline): explode 60-bit hashed
+    shingles (8 B each, never shingle text), census with map-side combine,
+    join back on the hash, one per-doc agg. Each (doc, hash) row is unique
+    by construction (_hashed_ngrams is distinct per doc), so ``count(*)``
+    per hash IS the distinct-doc frequency. Docs with < n words hash their
+    whole text as one shingle (the _ngrams_raw convention), so every doc
+    scores.
+
+    Returns (id, n_ngrams, novel_frac) — novel_frac 6dp, 1.0 for an
+    all-unique doc.
+    """
+    g = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+         .selectExpr(
+             id_col,
+             f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')} as _hg")
+         .select(F.col(id_col), F.explode("_hg").alias("h")))
+    census = g.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    return (g.join(census, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+                 F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+                 .cast("long").alias("_novel"))
+            .select(
+                F.col(id_col),
+                F.col("n_ngrams"),
+                F.round(F.col("_novel").cast("double")
+                        / F.col("n_ngrams"), 6).alias("novel_frac")))
+
+
+def duckdb_ngram_novelty_sql(table: str, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3) -> str:
+    """Engine twin of :func:`ngram_novelty` (same md5-derived 60-bit
+    shingle hashes, so parity is exact by construction)."""
+    hg = _hashed_ngrams(text_col, n, "duck")
+    return f"""
+        with g as (
+            select {id_col}, unnest({hg}) as h from {table}
+        ), census as (
+            select h, count(*) as df from g group by h
+        )
+        select g.{id_col},
+               count(*)::bigint as n_ngrams,
+               round(sum(case when c.df = 1 then 1 else 0 end)::double
+                     / count(*), 6) as novel_frac
+        from g join census c using (h)
+        group by g.{id_col}
+    """
+
+
+def dup_cluster_histogram(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-cluster size census: how many exact-duplicate clusters of
+    each size the corpus holds and how many docs they absorb — the one-
+    glance duplication profile of a crawl (a heavy tail here is what makes
+    exact_dedup worth its pass). Two algebraic aggs over md5 hashes; never
+    wider than (16 B + counts) on the wire."""
+    return (exact_dedup_groups(df, text_col, id_col)
+            .groupBy("dup_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("dup_count").cast("long").alias("n_docs")))
+
+
+def duckdb_dup_cluster_histogram_sql(table: str, text_col: str = "text",
+                                     id_col: str = "doc_id") -> str:
+    return f"""
+        with g as (
+            select md5({text_col}) as h, count(*)::bigint as dup_count
+            from {table} group by md5({text_col})
+        )
+        select dup_count,
+               count(*)::bigint as n_clusters,
+               sum(dup_count)::bigint as n_docs
+        from g group by dup_count
+    """

@@ -25,6 +25,9 @@ SUBSET = [
     "pii_density_by_source", "line_dedup", "token_budget_sample",
     "canonical_dedup_groups", "url_canonical_dedup",
     "intra_doc_line_dedup", "bucket_skew",
+    # round-5 additions
+    "ngram_novelty", "charset_quality", "dup_cluster_histogram",
+    "boilerplate_by_source",
 ]
 
 
