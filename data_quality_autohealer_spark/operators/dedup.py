@@ -1055,6 +1055,13 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
 
     Returns (id, n_ngrams, novel_frac) — novel_frac 6dp, 1.0 for an
     all-unique doc.
+
+    The plan scans the source twice (once per side of the census join) —
+    deliberate: persisting the exploded (id, hash) frame would cache
+    ~shingles×8 B of state, while the re-scan re-reads only the pruned
+    text column and both exchanges still carry hashes alone (PLANS.md).
+    In a multi-stage pipeline, stage the exploded frame as parquet once
+    and feed both sides.
     """
     g = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
          .selectExpr(
