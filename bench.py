@@ -63,6 +63,13 @@ HEADLINE = [
     "canonical_dedup_groups",
     "token_budget_sample",
     "url_canonical_dedup",
+    # round-5 operators
+    "ngram_novelty",
+    "charset_quality",
+    "dup_cluster_histogram",
+    "boilerplate_by_source",
+    "bloom_decontaminate",
+    "decontaminate_chain",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -1063,11 +1063,19 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     In a multi-stage pipeline, stage the exploded frame as parquet once
     and feed both sides.
     """
+    # explode_OUTER, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which synthesizes a `size(arr) > 0` filter
+    # below the staging projections with the WHOLE shingle expression
+    # inlined — including the split, re-evaluated per lambda element (the
+    # CLAUDE.md 16× gotcha, measured 13.3 s vs 2.2 s for this explode at
+    # sf0.1). The rule skips outer generates; _ngrams_raw yields ≥1
+    # shingle per doc, so outer ≡ inner here (null guard kept anyway).
     g = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
          .selectExpr(
              id_col,
              f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')} as _hg")
-         .select(F.col(id_col), F.explode("_hg").alias("h")))
+         .select(F.col(id_col), F.explode_outer("_hg").alias("h"))
+         .where(F.col("h").isNotNull()))
     census = g.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     return (g.join(census, "h")
             .groupBy(id_col)
