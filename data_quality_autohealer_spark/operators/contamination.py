@@ -67,9 +67,16 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     base = df.withColumn("_w", F.expr(_words(text_col, "spark")))
     base = base.withColumn(
         "_hs", F.expr(_hashed_seq(text_col, n, "spark", words_col="_w")))
+    # explode_OUTER: plain explode triggers InferFiltersFromGenerate,
+    # whose synthesized size(_fps) > 0 filter inlines the ENTIRE staged
+    # chain (split → hashed seq → winnow minima) with every lambda
+    # re-evaluating its inputs per element — at sf0.1 the query stopped
+    # completing at all (>7 min vs 3.3 s with outer). _fps always holds
+    # ≥ 1 fingerprint, so outer ≡ inner; null guard kept for form.
     return (base.selectExpr(
         id_col, f"{_winnow_expr('_hs', window, 'spark')} as _fps")
-        .select(F.col(id_col), F.explode("_fps").alias("fingerprint")))
+        .select(F.col(id_col), F.explode_outer("_fps").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull()))
 
 
 def duckdb_winnow_sql(table: str = "documents", text_col: str = "text",

@@ -989,9 +989,13 @@ def simhash(df: DataFrame, text_col: str = "text",
     → sign-pack. Algebraic aggregation ⇒ map-side combine; the shuffle carries
     one row per (doc, word occurrence) of ~20 bytes.
     """
+    # explode_outer: blocks InferFiltersFromGenerate's size()>0 filter,
+    # which would re-run the split once more per row (linear here — not
+    # the lambda blow-up ngram_novelty/winnow hit — but free to avoid);
+    # _words yields [''] for empty text, so outer ≡ inner
     words = df.selectExpr(
-        id_col, f"explode({_words(text_col, 'spark')}) as w"
-    ).withColumn(
+        id_col, f"explode_outer({_words(text_col, 'spark')}) as w"
+    ).where(F.col("w").isNotNull()).withColumn(
         # 16-bit word hash from md5 hex (engine-portable)
         "wh", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int")
     )
