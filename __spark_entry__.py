@@ -1326,6 +1326,20 @@ def _q_bloom_decontaminate(spark, sf_dir):
                                      "text")
 
 
+def _q_substring_dup_summary(spark, sf_dir):
+    # exact duplicate-substring spans (round 5): the Spark-native shape of
+    # Lee et al. suffix-array substring dedup — rolling 8-word window
+    # hashes, corpus census, gap-tolerant islands, per-doc coverage
+    from data_quality_autohealer_spark.operators import contamination
+    return contamination.dup_substring_summary(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _oracle_substring_dup_summary() -> str:
+    from data_quality_autohealer_spark.operators import contamination
+    return contamination.duckdb_dup_substring_summary_sql("documents")
+
+
 def _q_decontaminate_chain(spark, sf_dir):
     # FULL decontamination composition, in the order an incremental corpus
     # refresh runs it (VERDICT-r04 task 5): exact pass first (Bloom over
@@ -1536,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "sequence_pack": _q_sequence_pack,
         "readability": _q_readability,
+        "substring_dup_summary": _q_substring_dup_summary,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "winsorize_lineitem": _q_winsorize,
@@ -1767,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),
+        "substring_dup_summary": _oracle_substring_dup_summary(),
         "intra_doc_line_dedup": dedup.duckdb_intra_doc_line_dedup_sql(),
         "bucket_skew": _oracle_bucket_skew(),
         "pii_scrub": _oracle_pii_scrub(),

@@ -70,6 +70,7 @@ HEADLINE = [
     "boilerplate_by_source",
     "bloom_decontaminate",
     "decontaminate_chain",
+    "substring_dup_summary",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

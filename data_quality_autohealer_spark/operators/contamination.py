@@ -133,3 +133,123 @@ def duckdb_contamination_sql(doc_table: str, bench_predicate: str,
         from doc_h d join bench b on d.h = b.h
         group by d.{id_col}
     """
+
+
+def dup_substring_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        min_count: int = 2) -> DataFrame:
+    """Exact duplicate-substring spans per document — the Spark-native
+    shape of suffix-array substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22 — public): any
+    run of ≥ k words whose text occurs ``min_count``+ times in the corpus
+    (across documents OR repeated within one) is covered by a rolling
+    k-word window hash that repeats, so duplicated-window positions mark
+    it; duplicated positions merge into maximal spans by gaps-and-islands
+    with a k−1 gap tolerance: two windows at positions p < q cover
+    overlapping WORD ranges iff q ≤ p+k−1, so a new island starts only
+    when the gap exceeds k−1 (a plain pos−row_number island would split
+    overlapping word ranges into two spans and double-count the overlap
+    in coverage sums).
+
+    Scale shape: posexplode ships (id, pos, 8-byte window hash) — never
+    window text; the census is an algebraic count with map-side combine;
+    the duplicated-hash set joins back on the hash (broadcast under AQE
+    when small); the islands window partitions BY DOCUMENT (no global
+    sort). Docs with < k words contribute their whole text as one window
+    (the _ngrams_raw convention).
+
+    Returns (id, span_start, span_end, n_windows) — word positions,
+    end-inclusive, clamped to the doc's word count.
+    """
+    from pyspark.sql.window import Window
+
+    staged = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+              .withColumn("_hs", F.expr(
+                  _hashed_seq(text_col, k, "spark", words_col="_w"))))
+    # posexplode_OUTER + null guard: plain explode triggers
+    # InferFiltersFromGenerate's inlined size()>0 filter (the CLAUDE.md
+    # blow-up); _hs always has ≥ 1 element so outer ≡ inner
+    pos = (staged.select(
+        F.col(id_col), F.size("_w").alias("_nw"),
+        F.posexplode_outer("_hs").alias("pos", "h"))
+        .where(F.col("h").isNotNull()))
+    dup = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= min_count).select("h"))
+    dp = pos.join(dup, "h")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    new_island = F.when(
+        F.col("pos") - F.lag("pos", 1).over(w) > k - 1, 1).otherwise(0)
+    return (dp.withColumn("_new", new_island)
+            .withColumn("_g", F.sum("_new").over(run))
+            .groupBy(id_col, "_g")
+            .agg(F.min("pos").alias("span_start"),
+                 F.least(F.max("pos") + F.lit(k - 1),
+                         F.max(F.col("_nw") - 1)).alias("span_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .drop("_g"))
+
+
+def dup_substring_summary(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Per-doc rollup of :func:`dup_substring_spans`: span count and the
+    fraction of the doc's words covered by duplicated substrings (spans
+    are disjoint by construction, so coverage is a plain sum). Only docs
+    with ≥ 1 duplicated span appear."""
+    spans = dup_substring_spans(df, text_col, id_col, k, min_count)
+    nw = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+          .select(F.col(id_col), F.size("_w").alias("_nw")))
+    return (spans.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+                 F.sum(F.col("span_end") - F.col("span_start") + 1)
+                 .cast("long").alias("_covered"))
+            .join(nw, id_col)
+            .select(F.col(id_col), F.col("n_dup_spans"),
+                    F.round(F.col("_covered").cast("double")
+                            / F.col("_nw"), 6).alias("dup_word_frac")))
+
+
+def duckdb_dup_substring_summary_sql(table: str = "documents",
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id", k: int = 8,
+                                     min_count: int = 2) -> str:
+    """Engine twin of :func:`dup_substring_summary` (identical md5-derived
+    window hashes; DuckDB's parallel unnests zip, giving 0-based positions
+    to match posexplode; window sum(bigint) cast off HUGEINT)."""
+    hs = _hashed_seq(text_col, k, "duck")
+    words = _words(text_col, "duck")
+    return f"""
+        with staged as (
+            select {id_col}, len({words}) as nw, {hs} as hs from {table}
+        ), pos as (
+            select {id_col}, nw,
+                   unnest(generate_series(1, len(hs))) - 1 as pos,
+                   unnest(hs) as h
+            from staged
+        ), dup as (
+            select h from pos group by h having count(*) >= {min_count}
+        ), dp as (
+            select p.* from pos p join dup using (h)
+        ), marked as (
+            select {id_col}, nw, pos,
+                   case when pos - lag(pos) over (partition by {id_col}
+                                                  order by pos) > {k - 1}
+                        then 1 else 0 end as nw_isl
+            from dp
+        ), isl as (
+            select {id_col}, nw, pos,
+                   sum(nw_isl) over (partition by {id_col} order by pos
+                                     rows unbounded preceding) as g
+            from marked
+        ), spans as (
+            select {id_col}, min(nw) as nw, min(pos) as span_start,
+                   least(max(pos) + {k - 1}, min(nw) - 1) as span_end
+            from isl group by {id_col}, g
+        )
+        select {id_col},
+               count(*)::bigint as n_dup_spans,
+               round((sum(span_end - span_start + 1))::double
+                     / min(nw), 6) as dup_word_frac
+        from spans group by {id_col}
+    """

@@ -41,3 +41,53 @@ def test_contamination_flags_embedding_doc(corpus):
     assert flagged[1] >= 5        # a 15-word run shares ≥ 8 distinct 8-grams
     assert 2 not in flagged
     assert 3 not in flagged       # shares only a 6-word prefix < n=8
+
+
+def test_dup_substring_spans_crafted(spark):
+    """Planted duplications: two docs share an 10-word run (detected in
+    both, clamped word positions); a doc repeats its own 9-word phrase
+    (within-doc duplication counts); overlapping duplicated windows merge
+    into ONE span (gap <= k-1 tolerance) so coverage never double-counts;
+    a unique doc yields nothing."""
+    from data_quality_autohealer_spark.operators.contamination import (
+        dup_substring_spans, dup_substring_summary,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        # within-doc repeat of a 9-word phrase, separated by filler
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8 p9 filler1 filler2 filler3 "
+            "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+        (4, "totally unique words nothing here repeats anywhere at all "
+            "honestly never once"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 8
+    spans = {r["doc_id"]: r for r in
+             dup_substring_spans(df, k=k).collect()}
+    rows = dup_substring_spans(df, k=k).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 4: nothing
+    assert 4 not in by_doc
+    # docs 1/2: the shared 10-word run spawns 3 duplicated windows each
+    # (10 - 8 + 1), all overlapping -> exactly ONE merged span of 10 words
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    s1, s2 = by_doc[1][0], by_doc[2][0]
+    assert s1["n_windows"] == 3 and s2["n_windows"] == 3
+    assert s1["span_start"] == 3 and s1["span_end"] == 12  # words 3..12
+    assert s2["span_start"] == 0 and s2["span_end"] == 9
+    # doc 3: the repeated 9-word phrase -> 2 windows per occurrence;
+    # occurrences are 12 words apart (> k-1) -> TWO spans of 9 words
+    assert len(by_doc[3]) == 2
+    covers = sorted((r["span_start"], r["span_end"]) for r in by_doc[3])
+    assert covers == [(0, 8), (12, 20)]
+    # summary coverage is the disjoint-union word count
+    summ = {r["doc_id"]: r for r in
+            dup_substring_summary(df, k=k).collect()}
+    assert summ[1]["dup_word_frac"] == round(10 / 16, 6)
+    assert summ[3]["n_dup_spans"] == 2
+    assert summ[3]["dup_word_frac"] == round(18 / 21, 6)

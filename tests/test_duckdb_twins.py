@@ -27,7 +27,7 @@ SUBSET = [
     "intra_doc_line_dedup", "bucket_skew",
     # round-5 additions
     "ngram_novelty", "charset_quality", "dup_cluster_histogram",
-    "boilerplate_by_source",
+    "boilerplate_by_source", "substring_dup_summary",
 ]
 
 
