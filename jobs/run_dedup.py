@@ -46,8 +46,14 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--pages-table", default="pages")
     p.add_argument("--out-table", default="pages_deduped")
     p.add_argument("--mode", choices=["exact", "neardup", "canonical",
-                                      "line", "index", "decontaminate"],
+                                      "line", "index", "decontaminate",
+                                      "substring"],
                    default="exact")
+    p.add_argument("--substring-k", type=int, default=8,
+                   help="rolling window length (words) for --mode substring")
+    p.add_argument("--max-dup-word-frac", type=float, default=0.5,
+                   help="--mode substring drops docs whose duplicated-"
+                        "substring word coverage exceeds this fraction")
     p.add_argument("--index-table", default="signatures",
                    help="signature-index table name (written by --mode "
                         "index, read by --mode decontaminate)")
@@ -132,6 +138,18 @@ def main(argv: list[str] | None = None) -> dict:
             max_bucket_size=args.max_bucket_size
         ).select(F.col("new_id").alias("url")).distinct()
         deduped = pages.join(flagged, "url", "left_anti")
+    elif args.mode == "substring":
+        # drop docs dominated by corpus-duplicated substrings (Lee et al.
+        # remediation at document granularity: heavy substring duplication
+        # marks templates/mirrors; span-level text surgery is left to a
+        # downstream rewrite since dropping whole docs is the
+        # bucket-resume-safe operation here)
+        from data_quality_autohealer_spark.operators import contamination
+        heavy = (contamination.dup_substring_summary(
+            pages, text_col="text", id_col="url", k=args.substring_k)
+            .where(F.col("dup_word_frac") > args.max_dup_word_frac)
+            .select("url"))
+        deduped = pages.join(heavy, "url", "left_anti")
     elif args.mode == "line":
         ld = dedup.line_dedup(pages, min_doc_count=args.min_line_docs,
                               text_col="text", id_col="url").persist()

@@ -160,3 +160,29 @@ def test_cli_index_layout_matches_dag_layout(spark, tmp_path):
     assert both.count() == 4
     assert dedup.read_signature_index(
         spark, f"{wh_dir}/signatures", exclude_wave="wave-7").count() == 2
+
+
+def test_substring_mode_drops_heavy_duplication(spark, tmp_path):
+    """--mode substring drops docs whose duplicated-substring coverage
+    exceeds the threshold (a doc that is one big shared run), keeps docs
+    with only light duplication, and keeps unique docs."""
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        ("http://a/", shared),                      # 100% duplicated
+        ("http://b/", shared + " plus some tail"),  # heavily duplicated
+        ("http://c/", "a genuinely unique page discussing parquet reader "
+                      "vectorization strategies in depth " + shared[:22]),
+        ("http://d/", "another unique page about stateful streaming "
+                      "watermark semantics and query planning"),
+    ]
+    wh.write_pages(_pages(spark, rows))
+    out = run_dedup.main(["--warehouse", wh_dir, "--mode", "substring",
+                          "--max-dup-word-frac", "0.5"])
+    kept = {r["url"] for r in
+            wh.read_pages("pages_deduped").select("url").collect()}
+    assert kept == {"http://c/", "http://d/"}
+    assert out["docs_in"] == 4 and out["docs_out"] == 2
