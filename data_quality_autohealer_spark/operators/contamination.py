@@ -156,13 +156,18 @@ def dup_substring_spans(df: DataFrame, text_col: str = "text",
     the duplicated-hash set joins back on the hash (broadcast under AQE
     when small); the islands window partitions BY DOCUMENT (no global
     sort). Docs with < k words contribute their whole text as one window
-    (the _ngrams_raw convention).
+    (the _ngrams_raw convention). NULL/whitespace-only docs are EXCLUDED
+    up front (the bloom.py convention: null is absence, not a value — two
+    scrape-failure blanks are not "duplicated substrings" of each other),
+    so e.g. run_dedup --mode substring never drops them.
 
-    Returns (id, span_start, span_end, n_windows) — word positions,
-    end-inclusive, clamped to the doc's word count.
+    Returns (id, span_start, span_end, n_windows, doc_words) — word
+    positions, end-inclusive, clamped to the doc's word count (carried as
+    ``doc_words`` so the summary needs no second corpus scan).
     """
     from pyspark.sql.window import Window
 
+    df = df.where(F.expr(f"trim(coalesce({text_col}, '')) != ''"))
     staged = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
               .withColumn("_hs", F.expr(
                   _hashed_seq(text_col, k, "spark", words_col="_w"))))
@@ -186,7 +191,8 @@ def dup_substring_spans(df: DataFrame, text_col: str = "text",
             .agg(F.min("pos").alias("span_start"),
                  F.least(F.max("pos") + F.lit(k - 1),
                          F.max(F.col("_nw") - 1)).alias("span_end"),
-                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+                 F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 F.max("_nw").alias("doc_words"))
             .drop("_g"))
 
 
@@ -195,16 +201,16 @@ def dup_substring_summary(df: DataFrame, text_col: str = "text",
                           min_count: int = 2) -> DataFrame:
     """Per-doc rollup of :func:`dup_substring_spans`: span count and the
     fraction of the doc's words covered by duplicated substrings (spans
-    are disjoint by construction, so coverage is a plain sum). Only docs
-    with ≥ 1 duplicated span appear."""
+    are disjoint by construction, so coverage is a plain sum; the word
+    count rides through the spans frame as ``doc_words``, so no second
+    corpus scan/tokenization happens — review finding). Only docs with
+    ≥ 1 duplicated span appear."""
     spans = dup_substring_spans(df, text_col, id_col, k, min_count)
-    nw = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
-          .select(F.col(id_col), F.size("_w").alias("_nw")))
     return (spans.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
                  F.sum(F.col("span_end") - F.col("span_start") + 1)
-                 .cast("long").alias("_covered"))
-            .join(nw, id_col)
+                 .cast("long").alias("_covered"),
+                 F.max("doc_words").alias("_nw"))
             .select(F.col(id_col), F.col("n_dup_spans"),
                     F.round(F.col("_covered").cast("double")
                             / F.col("_nw"), 6).alias("dup_word_frac")))
@@ -222,6 +228,7 @@ def duckdb_dup_substring_summary_sql(table: str = "documents",
     return f"""
         with staged as (
             select {id_col}, len({words}) as nw, {hs} as hs from {table}
+            where trim(coalesce({text_col}, '')) <> ''
         ), pos as (
             select {id_col}, nw,
                    unnest(generate_series(1, len(hs))) - 1 as pos,

@@ -178,11 +178,16 @@ def test_substring_mode_drops_heavy_duplication(spark, tmp_path):
                       "vectorization strategies in depth " + shared[:22]),
         ("http://d/", "another unique page about stateful streaming "
                       "watermark semantics and query planning"),
+        # scrape failures: null/empty text is absence, not a duplicated
+        # value — NEVER dropped by substring mode (review finding; the
+        # bloom.py NULL convention)
+        ("http://e/", None),
+        ("http://f/", "   "),
     ]
     wh.write_pages(_pages(spark, rows))
     out = run_dedup.main(["--warehouse", wh_dir, "--mode", "substring",
                           "--max-dup-word-frac", "0.5"])
     kept = {r["url"] for r in
             wh.read_pages("pages_deduped").select("url").collect()}
-    assert kept == {"http://c/", "http://d/"}
-    assert out["docs_in"] == 4 and out["docs_out"] == 2
+    assert kept == {"http://c/", "http://d/", "http://e/", "http://f/"}
+    assert out["docs_in"] == 6 and out["docs_out"] == 4

@@ -35,10 +35,12 @@ from data_quality_autohealer_spark.session import get_spark  # noqa: E402
 
 
 def build_corpus(spark, n: int, hot_pct: float):
-    """(url, keep) frame: hot_pct% of ids on mega.example, rest spread."""
-    cut = int(hot_pct * 100)
+    """(url, keep) frame: ``hot_pct`` (a FRACTION, e.g. 0.3 = 30%) of ids
+    on mega.example, rest spread. Granularity 1/10000 so sub-1% shares
+    don't truncate to zero (review finding)."""
+    cut = int(round(hot_pct * 10000))
     return (spark.range(n).select(
-        F.when(F.pmod(F.col("id"), F.lit(100)) < cut,
+        F.when(F.pmod(F.col("id"), F.lit(10000)) < cut,
                F.concat(F.lit("https://mega.example/p/"), F.col("id")))
         .otherwise(F.concat(F.lit("https://host"),
                             F.pmod(F.xxhash64("id"), F.lit(50_000)),
