@@ -91,3 +91,68 @@ def test_dup_substring_spans_crafted(spark):
     assert summ[1]["dup_word_frac"] == round(10 / 16, 6)
     assert summ[3]["n_dup_spans"] == 2
     assert summ[3]["dup_word_frac"] == round(18 / 21, 6)
+
+
+def test_dup_substring_spans_randomized_vs_bruteforce(spark):
+    """Randomized equivalence: dup_substring_spans / dup_substring_summary
+    vs an independent pure-Python brute-force model (explicit window
+    enumeration, occurrence counting on window WORD TUPLES, gap<=k-1
+    island merge), over corpora drawn from a tiny word vocabulary so
+    cross-doc and within-doc window collisions are dense. Three seeds."""
+    import random
+    from collections import Counter
+
+    from data_quality_autohealer_spark.operators.contamination import (
+        dup_substring_spans, dup_substring_summary,
+    )
+
+    k = 4
+    vocab = [f"w{i}" for i in range(6)]
+    for seed in (3, 99, 2024):
+        rng = random.Random(seed)
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 14))))
+                for i in range(24)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # brute-force model over word tuples (md5 hashing is injective
+        # here up to negligible collision odds; tuples are the semantics)
+        windows = {}   # doc -> [(pos, tuple)]
+        counts = Counter()
+        for i, t in docs:
+            words = t.split(" ")
+            if len(words) < k:
+                ws = [(0, tuple(words))]
+            else:
+                ws = [(p, tuple(words[p:p + k]))
+                      for p in range(len(words) - k + 1)]
+            windows[i] = (len(words), ws)
+            for _, w in ws:
+                counts[w] += 1
+        expect_spans = {}
+        expect_summary = {}
+        for i, (nw, ws) in windows.items():
+            dup_pos = [p for p, w in ws if counts[w] >= 2]
+            if not dup_pos:
+                continue
+            spans = []
+            start = prev = dup_pos[0]
+            for p in dup_pos[1:]:
+                if p - prev > k - 1:
+                    spans.append((start, min(prev + k - 1, nw - 1)))
+                    start = p
+                prev = p
+            spans.append((start, min(prev + k - 1, nw - 1)))
+            expect_spans[i] = sorted(spans)
+            covered = sum(e - s + 1 for s, e in spans)
+            expect_summary[i] = (len(spans), round(covered / nw, 6))
+
+        got_spans = {}
+        for r in dup_substring_spans(df, k=k).collect():
+            got_spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"]))
+        got_spans = {i: sorted(v) for i, v in got_spans.items()}
+        assert got_spans == expect_spans, f"spans mismatch at seed {seed}"
+        got_summary = {r["doc_id"]: (r["n_dup_spans"], r["dup_word_frac"])
+                       for r in dup_substring_summary(df, k=k).collect()}
+        assert got_summary == expect_summary, f"summary seed {seed}"
