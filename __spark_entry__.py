@@ -1326,6 +1326,24 @@ def _q_bloom_decontaminate(spark, sf_dir):
                                      "text")
 
 
+def _q_incremental_novelty(spark, sf_dir):
+    # incremental ngram_novelty (round 5): score the new wave (doc_id%3!=0)
+    # against the accumulated corpus (%3==0) represented ONLY by its
+    # stored n-gram census — the novelty analogue of neardup_via_index;
+    # equal by construction to full-corpus novelty restricted to the wave
+    # (asserted in tests through a parquet round-trip)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    census = dedup.build_ngram_census(docs.where("doc_id % 3 = 0"))
+    return dedup.ngram_novelty_vs_census(
+        docs.where("doc_id % 3 != 0"), census)
+
+
+def _oracle_incremental_novelty() -> str:
+    return dedup.duckdb_ngram_novelty_vs_census_sql(
+        "(select doc_id, text from documents where doc_id % 3 != 0)",
+        "(select doc_id, text from documents where doc_id % 3 = 0)")
+
+
 def _q_substring_dup_summary(spark, sf_dir):
     # exact duplicate-substring spans (round 5): the Spark-native shape of
     # Lee et al. suffix-array substring dedup — rolling 8-word window
@@ -1551,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "readability": _q_readability,
         "substring_dup_summary": _q_substring_dup_summary,
+        "incremental_novelty": _q_incremental_novelty,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "winsorize_lineitem": _q_winsorize,
@@ -1783,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),
         "substring_dup_summary": _oracle_substring_dup_summary(),
+        "incremental_novelty": _oracle_incremental_novelty(),
         "intra_doc_line_dedup": dedup.duckdb_intra_doc_line_dedup_sql(),
         "bucket_skew": _oracle_bucket_skew(),
         "pii_scrub": _oracle_pii_scrub(),

@@ -71,6 +71,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "decontaminate_chain",
     "substring_dup_summary",
+    "incremental_novelty",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

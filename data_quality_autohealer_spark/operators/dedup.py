@@ -1042,6 +1042,27 @@ def duckdb_simhash_sql(table: str = "documents", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def exploded_ngram_hashes(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, h) rows: one per DISTINCT hashed word n-gram per doc — the
+    shared first stage of the novelty/census family.
+
+    explode_OUTER, deliberately: plain explode triggers Catalyst's
+    InferFiltersFromGenerate, which synthesizes a ``size(arr) > 0``
+    filter below the staging projections with the WHOLE shingle
+    expression inlined — including the split, re-evaluated per lambda
+    element (the CLAUDE.md 16× gotcha, measured 13.3 s vs 2.2 s for this
+    explode at sf0.1). The rule skips outer generates; _ngrams_raw
+    yields ≥1 shingle per doc, so outer ≡ inner (null guard kept)."""
+    return (df.withColumn("_w", F.expr(_words(text_col, "spark")))
+            .selectExpr(
+                id_col,
+                f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')}"
+                f" as _hg")
+            .select(F.col(id_col), F.explode_outer("_hg").alias("h"))
+            .where(F.col("h").isNotNull()))
+
+
 def ngram_novelty(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Per-doc corpus-novelty score: the fraction of a document's DISTINCT
@@ -1067,19 +1088,7 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     In a multi-stage pipeline, stage the exploded frame as parquet once
     and feed both sides.
     """
-    # explode_OUTER, deliberately: plain explode triggers Catalyst's
-    # InferFiltersFromGenerate, which synthesizes a `size(arr) > 0` filter
-    # below the staging projections with the WHOLE shingle expression
-    # inlined — including the split, re-evaluated per lambda element (the
-    # CLAUDE.md 16× gotcha, measured 13.3 s vs 2.2 s for this explode at
-    # sf0.1). The rule skips outer generates; _ngrams_raw yields ≥1
-    # shingle per doc, so outer ≡ inner here (null guard kept anyway).
-    g = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
-         .selectExpr(
-             id_col,
-             f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')} as _hg")
-         .select(F.col(id_col), F.explode_outer("_hg").alias("h"))
-         .where(F.col("h").isNotNull()))
+    g = exploded_ngram_hashes(df, text_col, id_col, n)
     census = g.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     return (g.join(census, "h")
             .groupBy(id_col)
@@ -1137,4 +1146,80 @@ def duckdb_dup_cluster_histogram_sql(table: str, text_col: str = "text",
                count(*)::bigint as n_clusters,
                sum(dup_count)::bigint as n_docs
         from g group by dup_count
+    """
+
+
+def build_ngram_census(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Persistable corpus n-gram census: (h, df_count) — the document
+    frequency of every distinct hashed word n-gram. The novelty analogue
+    of build_signature_index: write it once per corpus wave (tens of
+    bytes per distinct shingle) and score later waves' novelty against it
+    WITHOUT re-reading the accumulated corpus text. Censuses merge by
+    summing df_count per hash, so wave-partitioned storage works the same
+    way as the signature index's."""
+    return (exploded_ngram_hashes(df, text_col, id_col, n)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).cast("long").alias("df_count")))
+
+
+def ngram_novelty_vs_census(new_df: DataFrame, census_df: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Incremental :func:`ngram_novelty`: score a NEW wave's docs against
+    the accumulated corpus represented only by its stored
+    :func:`build_ngram_census` — an n-gram is novel iff it appears once
+    within the wave AND never in the stored census. Exactly equal to
+    running ngram_novelty over (accumulated ∪ wave) restricted to the
+    wave's docs (combined frequency = wave count + stored count; asserted
+    in tests), at the cost of scanning only the wave's text.
+
+    Shuffle shape: wave hashes census (map-side combine), left join to
+    the stored census on the 8-byte hash, join back, per-doc agg — the
+    accumulated corpus never moves."""
+    g = exploded_ngram_hashes(new_df, text_col, id_col, n)
+    wave = g.groupBy("h").agg(F.count(F.lit(1)).alias("_wdf"))
+    comb = (wave.join(census_df.select("h", "df_count"), "h", "left")
+            .select("h", (F.col("_wdf")
+                          + F.coalesce(F.col("df_count"), F.lit(0)))
+                    .alias("_df")))
+    return (g.join(comb, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+                 F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+                 .cast("long").alias("_novel"))
+            .select(
+                F.col(id_col),
+                F.col("n_ngrams"),
+                F.round(F.col("_novel").cast("double")
+                        / F.col("n_ngrams"), 6).alias("novel_frac")))
+
+
+def duckdb_ngram_novelty_vs_census_sql(new_table: str, ref_table: str,
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       n: int = 3) -> str:
+    """Engine twin of :func:`ngram_novelty_vs_census` with the census
+    derived inline from ``ref_table`` (the driver-query form: a
+    deterministic slice of the same documents table)."""
+    hg = _hashed_ngrams(text_col, n, "duck")
+    return f"""
+        with gref as (
+            select unnest({hg}) as h from {ref_table}
+        ), cref as (
+            select h, count(*) as df_ref from gref group by h
+        ), gnew as (
+            select {id_col}, unnest({hg}) as h from {new_table}
+        ), cnew as (
+            select h, count(*) as df_new from gnew group by h
+        ), comb as (
+            select cnew.h, cnew.df_new + coalesce(cref.df_ref, 0) as df
+            from cnew left join cref using (h)
+        )
+        select g.{id_col},
+               count(*)::bigint as n_ngrams,
+               round(sum(case when c.df = 1 then 1 else 0 end)::double
+                     / count(*), 6) as novel_frac
+        from gnew g join comb c using (h)
+        group by g.{id_col}
     """

@@ -28,6 +28,7 @@ SUBSET = [
     # round-5 additions
     "ngram_novelty", "charset_quality", "dup_cluster_histogram",
     "boilerplate_by_source", "substring_dup_summary",
+    "incremental_novelty",
 ]
 
 

@@ -459,3 +459,29 @@ def test_decontaminate_chain_stages_partition_the_input(spark):
         survivors1, dedup_mod.build_signature_index(ref),
         threshold=0.5).select("new_id").collect()}
     assert by_stage.get("neardup", set()) == flagged
+
+
+def test_incremental_novelty_equals_full_corpus_restriction(spark, tmp_path):
+    """ngram_novelty_vs_census == full-corpus ngram_novelty restricted to
+    the wave's docs (combined frequency = wave count + stored count, by
+    construction), with the census persisted to parquet and read back —
+    the accumulated corpus's text is never re-read."""
+    from data_quality_autohealer_spark.operators.dedup import (
+        build_ngram_census, ngram_novelty, ngram_novelty_vs_census,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    ref = docs.where("doc_id % 3 = 0")
+    wave = docs.where("doc_id % 3 != 0")
+
+    census_path = str(tmp_path / "ngram_census")
+    build_ngram_census(ref).write.parquet(census_path)
+    stored = spark.read.parquet(census_path)
+
+    incr = {r["doc_id"]: (r["n_ngrams"], r["novel_frac"])
+            for r in ngram_novelty_vs_census(wave, stored).collect()}
+    full = {r["doc_id"]: (r["n_ngrams"], r["novel_frac"])
+            for r in ngram_novelty(docs).collect()
+            if r["doc_id"] % 3 != 0}
+    assert incr == full and len(incr) > 0
