@@ -120,12 +120,19 @@ def might_contain(df: DataFrame, col: str, bloom_bits: np.ndarray,
     """Boolean column: every bit of the value's k probes is set (no false
     negatives; false positives at the filter's design rate). NULL values
     test ``false`` — the build side never represents them (xxhash64(NULL)
-    is a constant that would alias all NULLs onto one key)."""
-    bits = bloom_bits  # closure-shipped once per worker
-    m_bits = len(bits) * 8
+    is a constant that would alias all NULLs onto one key).
+
+    The bit array ships as a Spark BROADCAST variable, not a closure
+    capture: a closure rides inside the serialized task/UDF payload on
+    every stage that uses it, while a broadcast is torrent-distributed
+    once per executor — the difference between fine and painful at
+    m = 2^30 bits (128 MiB) for a 10^8-item reference set."""
+    m_bits = len(bloom_bits) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bloom_bits)
 
     @F.pandas_udf("boolean")
     def _test(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bits = bc.value  # fetched once per executor
         for h in batches:
             pos = _bit_positions(h.to_numpy(), m_bits, k)
             hit = (bits[pos >> 3]

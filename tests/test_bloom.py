@@ -82,3 +82,29 @@ def test_decontaminate_drops_ref_docs_without_shuffle(spark):
         all_docs, "text", bloom.build_bloom(ref, "text", 1 << 20, 5), 5)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bloom_probe_in_streaming_equals_batch(spark, tmp_path):
+    """The probe is a stateless projection+filter, so it drops into a
+    Structured Streaming plan unchanged — incremental ingest can
+    decontaminate each micro-batch against the corpus Bloom without any
+    state store. Kept set must equal the batch path's."""
+    all_docs = _texts(spark, range(300))
+    ref = all_docs.where("doc_id % 5 = 0")
+    bits = bloom.build_bloom(ref, "text", m_bits=1 << 20, k=5)
+
+    src = str(tmp_path / "bloom_stream_src")
+    all_docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    filtered = bloom.might_contain(stream, "text", bits, k=5) \
+        .where(~F.col("_in_bloom")).drop("_in_bloom")
+    q = (filtered.writeStream.format("memory").queryName("bloom_stream_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in
+           spark.sql("select doc_id from bloom_stream_t").collect()}
+    batch = {r["doc_id"] for r in bloom.decontaminate_bloom(
+        all_docs, ref, "text", m_bits=1 << 20, k=5)
+        .select("doc_id").collect()}
+    assert got == batch and len(got) > 0
