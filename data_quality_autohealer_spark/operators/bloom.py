@@ -115,7 +115,7 @@ def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 23,
     return out
 
 
-def might_contain(df: DataFrame, col: str, bloom_bits: np.ndarray,
+def might_contain(df: DataFrame, col: str, bloom_bits,
                   k: int = 5, out_col: str = "_in_bloom") -> DataFrame:
     """Boolean column: every bit of the value's k probes is set (no false
     negatives; false positives at the filter's design rate). NULL values
@@ -126,9 +126,21 @@ def might_contain(df: DataFrame, col: str, bloom_bits: np.ndarray,
     capture: a closure rides inside the serialized task/UDF payload on
     every stage that uses it, while a broadcast is torrent-distributed
     once per executor — the difference between fine and painful at
-    m = 2^30 bits (128 MiB) for a 10^8-item reference set."""
-    m_bits = len(bloom_bits) * 8
-    bc = df.sparkSession.sparkContext.broadcast(bloom_bits)
+    m = 2^30 bits (128 MiB) for a 10^8-item reference set.
+
+    Lifecycle: pass a numpy array for one-shot use (the broadcast is
+    created here and reclaimed by GC + ContextCleaner when the returned
+    frame is dropped), or pre-broadcast it yourself
+    (``sc.broadcast(bits)``) and pass the Broadcast handle when running
+    REPEATED passes against one filter — then one copy serves them all
+    and you own ``.unpersist()``."""
+    from pyspark.broadcast import Broadcast
+    if isinstance(bloom_bits, Broadcast):
+        bc = bloom_bits
+        m_bits = len(bc.value) * 8
+    else:
+        bc = df.sparkSession.sparkContext.broadcast(bloom_bits)
+        m_bits = len(bloom_bits) * 8
 
     @F.pandas_udf("boolean")
     def _test(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -1179,9 +1179,15 @@ def ngram_novelty_vs_census(new_df: DataFrame, census_df: DataFrame,
     accumulated corpus never moves."""
     g = exploded_ngram_hashes(new_df, text_col, id_col, n)
     wave = g.groupBy("h").agg(F.count(F.lit(1)).alias("_wdf"))
-    comb = (wave.join(census_df.select("h", "df_count"), "h", "left")
+    # re-aggregate the stored census by hash FIRST (review finding): a
+    # census appended wave-by-wave to one table has duplicate h rows —
+    # joining it raw would fan out and silently inflate n_ngrams; the
+    # sum makes appended multi-wave storage correct by construction
+    merged = (census_df.select("h", "df_count")
+              .groupBy("h").agg(F.sum("df_count").alias("_sdf")))
+    comb = (wave.join(merged, "h", "left")
             .select("h", (F.col("_wdf")
-                          + F.coalesce(F.col("df_count"), F.lit(0)))
+                          + F.coalesce(F.col("_sdf"), F.lit(0)))
                     .alias("_df")))
     return (g.join(comb, "h")
             .groupBy(id_col)

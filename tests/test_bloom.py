@@ -101,10 +101,32 @@ def test_bloom_probe_in_streaming_equals_batch(spark, tmp_path):
         .where(~F.col("_in_bloom")).drop("_in_bloom")
     q = (filtered.writeStream.format("memory").queryName("bloom_stream_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
     got = {r["doc_id"] for r in
            spark.sql("select doc_id from bloom_stream_t").collect()}
     batch = {r["doc_id"] for r in bloom.decontaminate_bloom(
         all_docs, ref, "text", m_bits=1 << 20, k=5)
         .select("doc_id").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_probe_accepts_prebroadcast_handle(spark):
+    """Repeated passes can share ONE broadcast of the bit array (the
+    caller owns unpersist); results identical to the array form."""
+    ref = _texts(spark, range(0, 500, 5))
+    alldocs = _texts(spark, range(500))
+    bits = bloom.build_bloom(ref, "text", m_bits=1 << 18, k=5)
+    bc = spark.sparkContext.broadcast(bits)
+    try:
+        via_bc = {r["doc_id"] for r in
+                  bloom.might_contain(alldocs, "text", bc, k=5)
+                  .where(F.col("_in_bloom")).select("doc_id").collect()}
+        via_arr = {r["doc_id"] for r in
+                   bloom.might_contain(alldocs, "text", bits, k=5)
+                   .where(F.col("_in_bloom")).select("doc_id").collect()}
+        assert via_bc == via_arr and via_bc
+    finally:
+        bc.unpersist()

@@ -485,3 +485,34 @@ def test_incremental_novelty_equals_full_corpus_restriction(spark, tmp_path):
             for r in ngram_novelty(docs).collect()
             if r["doc_id"] % 3 != 0}
     assert incr == full and len(incr) > 0
+
+
+def test_incremental_novelty_appended_multiwave_census(spark, tmp_path):
+    """A census APPENDED wave-by-wave to one table has duplicate hash
+    rows; ngram_novelty_vs_census must re-aggregate them (review finding:
+    a raw join would fan out and silently inflate n_ngrams). Scoring wave
+    3 against waves 1+2 appended must equal scoring it against a census
+    built over waves 1∪2 in one shot."""
+    from data_quality_autohealer_spark.operators.dedup import (
+        build_ngram_census, ngram_novelty_vs_census,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    w1 = docs.where("doc_id % 3 = 0")
+    w2 = docs.where("doc_id % 3 = 1")
+    w3 = docs.where("doc_id % 3 = 2")
+
+    path = str(tmp_path / "census_waves")
+    build_ngram_census(w1).write.mode("append").parquet(path)
+    build_ngram_census(w2).write.mode("append").parquet(path)
+    appended = spark.read.parquet(path)
+    # duplicate h rows really exist (shared shingles between waves)
+    assert appended.count() > appended.select("h").distinct().count()
+
+    got = {r["doc_id"]: (r["n_ngrams"], r["novel_frac"])
+           for r in ngram_novelty_vs_census(w3, appended).collect()}
+    want = {r["doc_id"]: (r["n_ngrams"], r["novel_frac"])
+            for r in ngram_novelty_vs_census(
+                w3, build_ngram_census(w1.unionByName(w2))).collect()}
+    assert got == want and len(got) > 0

@@ -262,7 +262,10 @@ def test_kafka_wire_corrupt_frames_stream_equals_batch(spark, tmp_path):
     q = (stream_filter.decode_kafka_frame(raw)
          .writeStream.format("memory").queryName("kafka_corrupt_t")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
     got = {r["url"] for r in
            spark.sql("select url from kafka_corrupt_t").collect()}
     assert got == valid_urls | {partial_url}
