@@ -47,8 +47,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--out-table", default="pages_deduped")
     p.add_argument("--mode", choices=["exact", "neardup", "canonical",
                                       "line", "index", "decontaminate",
-                                      "substring"],
+                                      "substring", "novelty"],
                    default="exact")
+    p.add_argument("--min-novelty", type=float, default=0.2,
+                   help="--mode novelty drops docs whose corpus n-gram "
+                        "novelty (ngram_novelty.novel_frac) is below this")
     p.add_argument("--substring-k", type=int, default=8,
                    help="rolling window length (words) for --mode substring")
     p.add_argument("--max-dup-word-frac", type=float, default=0.5,
@@ -150,6 +153,16 @@ def main(argv: list[str] | None = None) -> dict:
             .where(F.col("dup_word_frac") > args.max_dup_word_frac)
             .select("url"))
         deduped = pages.join(heavy, "url", "left_anti")
+    elif args.mode == "novelty":
+        # drop boilerplate/template docs: corpus n-gram novelty below the
+        # floor means nearly every shingle also appears in other docs
+        # (mirror pages, generated templates). Complementary to substring
+        # mode: novelty is set-based (any shared shingle), substring
+        # requires contiguous runs.
+        boiler = (dedup.ngram_novelty(pages, text_col="text", id_col="url")
+                  .where(F.col("novel_frac") < args.min_novelty)
+                  .select("url"))
+        deduped = pages.join(boiler, "url", "left_anti")
     elif args.mode == "line":
         ld = dedup.line_dedup(pages, min_doc_count=args.min_line_docs,
                               text_col="text", id_col="url").persist()

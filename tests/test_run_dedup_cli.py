@@ -191,3 +191,28 @@ def test_substring_mode_drops_heavy_duplication(spark, tmp_path):
             wh.read_pages("pages_deduped").select("url").collect()}
     assert kept == {"http://c/", "http://d/", "http://e/", "http://f/"}
     assert out["docs_in"] == 6 and out["docs_out"] == 4
+
+
+def test_novelty_mode_drops_template_docs(spark, tmp_path):
+    """--mode novelty drops docs whose shingles all appear elsewhere
+    (template/mirror pages) and keeps genuinely novel docs."""
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    template = ("click here to accept cookies and subscribe to our daily "
+                "newsletter for updates about everything")
+    rows = [
+        ("http://t1/", template),
+        ("http://t2/", template + " today"),  # near-pure template
+        ("http://u1/", "a genuinely unique page discussing parquet reader "
+                       "vectorization strategies in considerable depth"),
+        ("http://u2/", "another unique page about stateful streaming "
+                       "watermark semantics and adaptive query planning"),
+    ]
+    wh.write_pages(_pages(spark, rows))
+    out = run_dedup.main(["--warehouse", wh_dir, "--mode", "novelty",
+                          "--min-novelty", "0.5"])
+    kept = {r["url"] for r in
+            wh.read_pages("pages_deduped").select("url").collect()}
+    assert kept == {"http://u1/", "http://u2/"}
+    assert out["docs_in"] == 4 and out["docs_out"] == 2
