@@ -659,9 +659,26 @@ def write_signature_index(index_df: DataFrame, path: str,
     import json
 
     from ..sources import fsio
+    mine = params or signature_index_params()
+    # appending a wave must NOT clobber the shared sidecar (advice-r05):
+    # if a second producer wrote different params to a new wave, readers
+    # would validate the whole multi-wave index against only the LAST
+    # writer's params — older mismatched waves would pass the guard and
+    # match nothing, the exact failure the sidecar exists to prevent.
+    # Read any existing sidecar first and fail loudly on mismatch.
+    spark = index_df.sparkSession
+    existing = fsio.read_text(spark, f"{path}/{SIG_PARAMS_FILE}")
+    if existing is not None and json.loads(existing) != mine:
+        raise ValueError(
+            f"signature index at {path} already holds waves built with "
+            f"{json.loads(existing)}; refusing to append wave={wave!r} "
+            f"built with {mine} — a multi-wave index must be "
+            f"parameter-homogeneous (mismatched waves silently match "
+            f"nothing). Use a different index path or rebuild.")
     index_df.write.mode("overwrite").parquet(f"{path}/wave={wave}")
-    fsio.write_text(index_df.sparkSession, f"{path}/{SIG_PARAMS_FILE}",
-                    json.dumps(params or signature_index_params()))
+    if existing is None:
+        fsio.write_text(spark, f"{path}/{SIG_PARAMS_FILE}",
+                        json.dumps(mine))
 
 
 def read_signature_index(spark, path: str, params: dict | None = None,

@@ -159,7 +159,14 @@ def main(argv: list[str] | None = None) -> dict:
         # (mirror pages, generated templates). Complementary to substring
         # mode: novelty is set-based (any shared shingle), substring
         # requires contiguous runs.
-        boiler = (dedup.ngram_novelty(pages, text_col="text", id_col="url")
+        # null/whitespace-only docs are ABSENCE, not boilerplate: their
+        # coalesced '' text collapses to the single md5('') shingle, so any
+        # two blanks would score novel_frac=0 and be silently dropped
+        # (advice-r05). Pre-filter them out of the boiler set (mirroring
+        # dup_substring_spans' non-blank gate) — blanks always survive.
+        boiler = (dedup.ngram_novelty(
+                      pages.where(F.expr("trim(coalesce(text, '')) != ''")),
+                      text_col="text", id_col="url")
                   .where(F.col("novel_frac") < args.min_novelty)
                   .select("url"))
         deduped = pages.join(boiler, "url", "left_anti")

@@ -162,6 +162,41 @@ def test_cli_index_layout_matches_dag_layout(spark, tmp_path):
         spark, f"{wh_dir}/signatures", exclude_wave="wave-7").count() == 2
 
 
+def test_index_append_refuses_mismatched_params(spark, tmp_path):
+    """advice-r05: appending a wave with DIFFERENT params used to
+    overwrite the shared sidecar, so readers validated older waves against
+    the last writer's params — mismatched waves passed the guard and
+    matched nothing. Append now reads any existing sidecar first and
+    raises on mismatch; the original sidecar survives the refused write."""
+    import pytest
+
+    from data_quality_autohealer_spark.operators import dedup
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    wh.write_pages(_pages(spark, [
+        ("http://r1/", "the cat sat on the mat and looked at the dog "
+                       "while it rained outside"),
+    ]))
+    run_dedup.main(["--warehouse", wh_dir, "--mode", "index"])
+    idx_path = f"{wh_dir}/signatures"
+    frame = dedup.build_signature_index(
+        wh.read_pages(), text_col="text", id_col="url",
+        shingle_n=4, jaccard_n=4)
+    with pytest.raises(ValueError, match="parameter-homogeneous"):
+        dedup.write_signature_index(
+            frame, idx_path, wave="wave-2",
+            params=dedup.signature_index_params(shingle_n=4, jaccard_n=4))
+    # the original sidecar is intact and the original wave still reads
+    assert dedup.read_signature_index(spark, idx_path).count() == 1
+    # identical-params append still lands cleanly
+    dedup.write_signature_index(
+        dedup.build_signature_index(wh.read_pages(), text_col="text",
+                                    id_col="url"),
+        idx_path, wave="wave-2")
+    assert dedup.read_signature_index(spark, idx_path).count() == 2
+
+
 def test_substring_mode_drops_heavy_duplication(spark, tmp_path):
     """--mode substring drops docs whose duplicated-substring coverage
     exceeds the threshold (a doc that is one big shared run), keeps docs
@@ -208,11 +243,19 @@ def test_novelty_mode_drops_template_docs(spark, tmp_path):
                        "vectorization strategies in considerable depth"),
         ("http://u2/", "another unique page about stateful streaming "
                        "watermark semantics and adaptive query planning"),
+        # scrape failures: null/whitespace text is absence, not
+        # boilerplate — with >=2 blanks they'd share the single md5('')
+        # shingle and score novel_frac=0, so without the pre-filter they
+        # would be silently dropped (advice-r05). They must ALWAYS survive.
+        ("http://e1/", None),
+        ("http://e2/", "   "),
+        ("http://e3/", ""),
     ]
     wh.write_pages(_pages(spark, rows))
     out = run_dedup.main(["--warehouse", wh_dir, "--mode", "novelty",
                           "--min-novelty", "0.5"])
     kept = {r["url"] for r in
             wh.read_pages("pages_deduped").select("url").collect()}
-    assert kept == {"http://u1/", "http://u2/"}
-    assert out["docs_in"] == 4 and out["docs_out"] == 2
+    assert kept == {"http://u1/", "http://u2/", "http://e1/", "http://e2/",
+                    "http://e3/"}
+    assert out["docs_in"] == 7 and out["docs_out"] == 5
