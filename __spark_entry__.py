@@ -1542,25 +1542,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        # --- slots 43-50: round-5 rotation (VERDICT r04 task #1). The four
-        # rows-only queries below had NEVER received a driver CORRECTNESS
-        # row (registry slots 68-71 in r04, outside the driver's 50-row
-        # window); rotated in so the driver records rows+schema for them
-        # (`no_oracle` hash is expected — each has an in-suite equality
-        # test against an oracle-checked twin). The four r04-green oracle
-        # queries they displaced (winnow_fingerprints, contamination_check,
-        # embedding_neardup_groups, top_terms_per_lang) parked at 51+.
         "pipeline_heuristic_decision": _q_pipeline_heuristic,
         "stratified_sample": _q_stratified_sample,
         "quality_strata": _q_quality_strata,
+        # --- slots 47-50: round-6 rotation (VERDICT r05 task #1). The
+        # three queries below were the only registry entries with ZERO
+        # driver CORRECTNESS rows (slots 59/60/78 in r05): the two
+        # oracle-checked round-5 marquee operators get hash-checked rows,
+        # decontaminate_chain gets rows+schema (`no_oracle` expected — its
+        # stages-partition-the-input reconciliation test covers values).
+        # The four rows-only queries they displace (quality_strata_approx,
+        # semantic_neardup_fast, bloom_decontaminate, neardup_via_index)
+        # received their r5 rows and park at 51+; winnow_fingerprints
+        # (r04-green, re-verified after the W13 explode_outer fix) fills
+        # the remaining hash-checkable slot.
+        "substring_dup_summary": _q_substring_dup_summary,
+        "incremental_novelty": _q_incremental_novelty,
+        "decontaminate_chain": _q_decontaminate_chain,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        # --- slots 51+: driver-witnessed green in r03/r04/r05, parked
+        # outside the 50-row window (still oracle-checked by
+        # tools/check_oracle.py and the in-suite twin subset)
         "quality_strata_approx": _q_quality_strata_approx,
         "semantic_neardup_fast": _q_semantic_neardup_fast,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "neardup_via_index": _q_neardup_via_index,
-        # --- slots 51+: driver-witnessed green in r03/r04, parked outside
-        # the 50-row window (still oracle-checked by tools/check_oracle.py
-        # and the in-suite twin subset)
-        "winnow_fingerprints": _q_winnow_fingerprints,
         "contamination_check": _q_contamination_check,
         "embedding_neardup_groups": _q_embedding_neardup_groups,
         "top_terms_per_lang": _q_top_terms_per_lang,
@@ -1568,8 +1574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "sequence_pack": _q_sequence_pack,
         "readability": _q_readability,
-        "substring_dup_summary": _q_substring_dup_summary,
-        "incremental_novelty": _q_incremental_novelty,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "winsorize_lineitem": _q_winsorize,
@@ -1588,7 +1592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents_approx": _q_profile_documents_approx,
         "outlier_iqr_approx": _q_outlier_iqr_approx,
         "embedding_near_dup_fast": _q_embedding_near_dup_fast,
-        "decontaminate_chain": _q_decontaminate_chain,
         "langid_model": _q_langid_model,
         "perplexity_model": _q_perplexity_model,
         "lsh_ann_topk": _q_lsh_ann,
