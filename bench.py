@@ -6,6 +6,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "filter_docs_per_sec": ..., "synth_docs": ...}
+
+Noise defense (VERDICT r05 #2 — this host is a shared VM where identical
+runs vary ±50%): every query is timed in $SPARK_GRAFT_BENCH_RUNS (default
+2) INTERLEAVED passes — pass 1 runs the whole list, then pass 2 — and the
+per-query minimum is reported, so a transient load spike cannot hit the
+same query in every pass. The JSON records runs + /proc loadavg at
+start/end so a contended capture is identifiable after the fact.
 """
 
 from __future__ import annotations
@@ -80,6 +87,8 @@ SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    loadavg_start = os.getloadavg()
     spark = get_spark(app_name="dqa-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     qs = entry_mod.queries()
@@ -87,14 +96,19 @@ def main() -> None:
     # session-startup cost (long-running clusters amortize this)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # interleaved best-of-N: whole list per pass, min per query across
+    # passes — a transient host-load spike degrades one pass, not the
+    # reported number (tools/bench_scaling.py uses the same defense)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            sec = round(time.perf_counter() - t0, 3)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
 
     # quality-filter throughput on the deterministic synthetic corpus
     pages = synth.gen_pages_df(spark, SYNTH_DOCS, num_partitions=cpus * 2)
@@ -103,10 +117,14 @@ def main() -> None:
     # warmup: spawn+warm every Python worker (long-running executors amortize
     # this over the whole corpus at cluster scale; we measure steady state)
     pipeline.score_pages(pages).where("keep").count()
-    t0 = time.perf_counter()
-    scored = pipeline.score_pages(pages)
-    kept = scored.where("keep").count()
-    filter_sec = time.perf_counter() - t0
+    filter_sec = None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        scored = pipeline.score_pages(pages)
+        kept = scored.where("keep").count()
+        sec = time.perf_counter() - t0
+        if filter_sec is None or sec < filter_sec:
+            filter_sec = sec
     pages.unpersist()
     timings["synth_filter"] = round(filter_sec, 3)
 
@@ -122,6 +140,9 @@ def main() -> None:
         "synth_docs_kept": kept,
         "filter_docs_per_sec": round(n_pages / filter_sec, 1),
         "cpus": cpus,
+        "runs_per_query": n_runs,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
 
 
