@@ -206,16 +206,20 @@ def embedding_near_dup_pairs_fast(df: DataFrame, threshold: float,
             # are HALF_UP; np.round is HALF_EVEN and comparing unrounded
             # floats drops boundary pairs in [threshold-5e-7, threshold)
             sims = np.floor(sims * 1e6 + 0.5) / 1e6
-            for i in range(lo, hi):
-                row = sims[i - lo]
-                js = np.nonzero((row >= threshold)
-                                & (np.arange(n) > i))[0]
-                out_a.extend([ids[i]] * len(js))
-                out_b.extend(ids[js])
-                out_s.extend(row[js])
-        return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
-                             "id_b": np.array(out_b, dtype=np.int64),
-                             "cosine_sim": np.array(out_s, dtype=np.float64)})
+            # one vectorized emit per stripe (VERDICT r05 #5): threshold
+            # mask ANDed with the strict upper triangle (global column
+            # index > global row index lo+r), then a single nonzero —
+            # no per-row interpreter loop
+            mask = (sims >= threshold) & (
+                np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None])
+            ii, jj = np.nonzero(mask)
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[jj])
+            out_s.append(sims[ii, jj])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a).astype(np.int64),
+             "id_b": np.concatenate(out_b).astype(np.int64),
+             "cosine_sim": np.concatenate(out_s).astype(np.float64)})
 
     return df.select(id_col, block_col, vec_col).groupBy(block_col) \
         .applyInPandas(per_block,
