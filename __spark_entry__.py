@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_quality_autohealer_spark.functions import bpe
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
@@ -745,6 +746,33 @@ def _q_token_count_bpe(spark, sf_dir):
         F.expr(f"size({th._spark_words('text')})").cast("long")
         .alias("ws_tokens"),
     )
+
+
+_BPE_MERGES = 16
+
+
+def _q_bpe_vocab(spark, sf_dir):
+    """Deterministic distributed BPE tokenizer training (functions/bpe.py,
+    VERDICT r05 #3): one corpus-wide word-census aggregation, then 16
+    pair-count/argmax/merge rounds — each a partial-aggregated groupBy
+    over the census plus a 1-row collect. The DuckDB twin unrolls the
+    identical fixed-depth loop as materialized CTEs, so learned merges are
+    hash-compared end-to-end (ties broken lexicographically on both
+    engines)."""
+    merges = bpe.train_bpe_merges(_docs(spark, sf_dir),
+                                  num_merges=_BPE_MERGES)
+    return bpe.merges_df(spark, merges)
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    """token_count_bpe upgraded to consume the TRAINED vocab: per-doc
+    token counts under the corpus-learned merges. Tokenization is a
+    shuffle-free literal-replace chain over each doc's delimited symbol
+    string (merge rules cannot match across word boundaries — see
+    functions/bpe.py)."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe_merges(docs, num_merges=_BPE_MERGES)
+    return bpe.doc_token_counts(docs, merges)
 
 
 def _q_readability(spark, sf_dir):
@@ -1543,7 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "pipeline_heuristic_decision": _q_pipeline_heuristic,
-        "stratified_sample": _q_stratified_sample,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_strata": _q_quality_strata,
         # --- slots 47-50: round-6 rotation (VERDICT r05 task #1). The
         # three queries below were the only registry entries with ZERO
@@ -1559,10 +1587,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_summary": _q_substring_dup_summary,
         "incremental_novelty": _q_incremental_novelty,
         "decontaminate_chain": _q_decontaminate_chain,
-        "winnow_fingerprints": _q_winnow_fingerprints,
+        # round-6 additions in-window: trained-BPE vocab + token counts
+        # (displacing stratified_sample — r05-green — parked at 51+)
+        "bpe_vocab": _q_bpe_vocab,
         # --- slots 51+: driver-witnessed green in r03/r04/r05, parked
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "stratified_sample": _q_stratified_sample,
         "quality_strata_approx": _q_quality_strata_approx,
         "semantic_neardup_fast": _q_semantic_neardup_fast,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -1800,6 +1832,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),
+        "bpe_vocab": bpe.duckdb_bpe_vocab_sql(_BPE_MERGES),
+        "bpe_token_count": bpe.duckdb_bpe_token_count_sql(_BPE_MERGES),
         "ngram_novelty": _oracle_ngram_novelty(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),

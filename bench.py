@@ -79,6 +79,9 @@ HEADLINE = [
     "decontaminate_chain",
     "substring_dup_summary",
     "incremental_novelty",
+    # round-6 operators
+    "bpe_vocab",
+    "bpe_token_count",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
