@@ -751,6 +751,29 @@ def _q_token_count_bpe(spark, sf_dir):
 _BPE_MERGES = 16
 
 
+def _q_main_content_extract(spark, sf_dir):
+    """Block-scored main-content extraction (functions/html_extract.py,
+    VERDICT r05 #4): each doc's text wrapped in deterministic page chrome
+    (nav + linkfarm + article + footer), then extracted back via the
+    engine-paired SQL twin — chrome dropped, article prose kept (docs
+    under the 5-word prose floor extract to ''). The html.parser scale
+    path is parity-pinned to this twin in tests/test_html_extract.py."""
+    from data_quality_autohealer_spark.functions import html_extract as hx
+    m = hx.spark_main_text_expr(hx.chrome_wrap_sql("text"))
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", f"{m} as main_text")
+            .selectExpr("doc_id", "main_text",
+                        "cast(length(main_text) as bigint) as main_chars"))
+
+
+def _oracle_main_content_extract() -> str:
+    from data_quality_autohealer_spark.functions import html_extract as hx
+    m = hx.duckdb_main_text_expr(hx.chrome_wrap_sql("text"))
+    return (f"with e as (select doc_id, {m} as main_text from documents) "
+            f"select doc_id, main_text, "
+            f"length(main_text)::bigint as main_chars from e")
+
+
 def _q_bpe_vocab(spark, sf_dir):
     """Deterministic distributed BPE tokenizer training (functions/bpe.py,
     VERDICT r05 #3): one corpus-wide word-census aggregation, then 16
@@ -1567,7 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": _q_lang_agreement,
         "pii_density_by_source": _q_pii_density_by_source,
         "url_quality": _q_url_quality,
-        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
+        "main_content_extract": _q_main_content_extract,
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "pipeline_heuristic_decision": _q_pipeline_heuristic,
@@ -1594,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "stratified_sample": _q_stratified_sample,
         "quality_strata_approx": _q_quality_strata_approx,
         "semantic_neardup_fast": _q_semantic_neardup_fast,
@@ -1832,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),
+        "main_content_extract": _oracle_main_content_extract(),
         "bpe_vocab": bpe.duckdb_bpe_vocab_sql(_BPE_MERGES),
         "bpe_token_count": bpe.duckdb_bpe_token_count_sql(_BPE_MERGES),
         "ngram_novelty": _oracle_ngram_novelty(),

@@ -80,6 +80,7 @@ HEADLINE = [
     "substring_dup_summary",
     "incremental_novelty",
     # round-6 operators
+    "main_content_extract",
     "bpe_vocab",
     "bpe_token_count",
 ]

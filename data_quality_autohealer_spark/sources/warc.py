@@ -187,29 +187,44 @@ def html_payload_text(body: Column) -> Column:
     return F.trim(F.regexp_replace(ent, r"\s+", " "))
 
 
-def warc_to_pages(records: DataFrame) -> DataFrame:
+def warc_to_pages(records: DataFrame,
+                  text_extract: str = "main") -> DataFrame:
     """Adapt response records to the pipeline's pages schema
     (synth.PAGES_SCHEMA_DDL: url, warc_ts, html, text, lang) so a crawl
     segment feeds the quality filter directly.
 
     - ``html`` is the HTTP BODY (status line + headers stripped), matching
       the synth pages contract where html holds markup only.
+    - ``text_extract``: ``'main'`` (default, VERDICT r05 #4) runs the
+      block-scored boilerplate remover (functions/html_extract.py —
+      nav/footer/linkfarm chrome dropped, prose kept; one Arrow
+      crossing); ``'tags'`` is the legacy JVM-side tag strip that keeps
+      chrome text (html_payload_text).
     - ``warc_ts``: WARC 1.1 allows fractional seconds; the fraction is
       truncated before parsing (whole-second precision) rather than
       silently yielding NULL on '...T00:00:00.123456Z'.
     - ``lang`` arrives unknown ('und') and is assigned by the langid stage
       downstream (the decision rule exempts an 'und' claim).
     """
+    if text_extract not in ("main", "tags"):
+        raise ValueError(f"text_extract must be 'main' or 'tags', "
+                         f"got {text_extract!r}")
     ts = F.to_timestamp(
         F.regexp_replace(F.col("warc_date"), r"[.][0-9]+", ""),
         "yyyy-MM-dd'T'HH:mm:ssX")
     # body staged as a column (referenced twice) so the header-strip regex
     # runs once per row (CLAUDE.md CollapseProject gotcha)
-    return (records.withColumn("_body", http_body(F.col("payload")))
-            .select(
-                F.col("url"),
-                ts.alias("warc_ts"),
-                F.col("_body").cast("binary").alias("html"),
-                html_payload_text(F.col("_body")).alias("text"),
-                F.lit("und").alias("lang"),
-            ))
+    staged = records.withColumn("_body", http_body(F.col("payload")))
+    if text_extract == "main":
+        from ..functions.html_extract import with_main_text
+        staged = with_main_text(staged, html_col="_body", out_col="_text")
+        text_col = F.col("_text")
+    else:
+        text_col = html_payload_text(F.col("_body"))
+    return staged.select(
+        F.col("url"),
+        ts.alias("warc_ts"),
+        F.col("_body").cast("binary").alias("html"),
+        text_col.alias("text"),
+        F.lit("und").alias("lang"),
+    )

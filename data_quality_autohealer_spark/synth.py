@@ -153,8 +153,14 @@ def gen_pages_pdf(ids: np.ndarray) -> pd.DataFrame:
         dtype=object,
     )
     ts = EPOCH_BASE + (ids % np.uint64(86400 * 90)).astype("timedelta64[s]")
+    # realistic page chrome (nav + linkfarm + article + footer) so the
+    # WARC front edge exercises main-content extraction for real; the
+    # chrome constants live beside the extractor they exist to test
+    from .functions.html_extract import CHROME_PREFIX, CHROME_SUFFIX
+    pre = CHROME_PREFIX.encode("utf-8")
+    suf = CHROME_SUFFIX.encode("utf-8")
     html = np.array(
-        [b"<html><body>" + t.encode("utf-8") + b"</body></html>" for t in texts],
+        [pre + t.encode("utf-8") + suf for t in texts],
         dtype=object,
     )
     return pd.DataFrame({

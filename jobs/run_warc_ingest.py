@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--synth-segments", type=int, default=0)
     p.add_argument("--docs-per-segment", type=int, default=500)
+    p.add_argument("--text-extract", choices=["main", "tags"],
+                   default="main",
+                   help="'main' = block-scored boilerplate removal "
+                        "(nav/footer/linkfarm dropped); 'tags' = legacy "
+                        "whole-page tag strip")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -119,7 +124,8 @@ def main(argv: list[str] | None = None) -> dict:
         summary["synth_records"] = synth_segments(
             spark, args.warc, args.synth_segments, args.docs_per_segment)
 
-    pages = warc_to_pages(read_warc(spark, args.warc))
+    pages = warc_to_pages(read_warc(spark, args.warc),
+                          text_extract=args.text_extract)
     wh = Warehouse(spark, args.warehouse, num_buckets=args.num_buckets)
     wh.write_pages(pages, args.pages_table)
     summary["pages_written"] = wh.read_pages(args.pages_table).count()

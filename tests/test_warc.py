@@ -89,15 +89,21 @@ def test_warc_to_pages_feeds_filter(spark, tmp_path):
     path = str(tmp_path / "seg.warc")
     write_warc_file([r for r in _recs() if r["warc_type"] == "response"],
                     path)
-    pages = warc_to_pages(read_warc(spark, path))
+    pages = warc_to_pages(read_warc(spark, path), text_extract="tags")
     want = spark.createDataFrame([], PAGES_SCHEMA_DDL).schema
     assert [(f.name, f.dataType) for f in pages.schema] == [
         (f.name, f.dataType) for f in want]  # lit('und') is non-nullable
     rows = {r["url"]: r for r in pages.collect()}
-    # header block, tags, script/style bodies gone; entities decoded;
-    # whitespace collapsed
+    # tags mode: header block, tags, script/style bodies gone; entities
+    # decoded; whitespace collapsed (chrome text retained)
     assert rows["http://a.example/1"]["text"] == "Hello & welcome plain text"
     assert rows["http://a.example/1"]["warc_ts"] is not None
+    # main mode (the default): every block on this page is under the
+    # 5-word prose floor, so block scoring extracts nothing — the
+    # sub-heading fragments are exactly what the legacy strip leaked
+    main = {r["url"]: r["text"]
+            for r in warc_to_pages(read_warc(spark, path)).collect()}
+    assert main["http://a.example/1"] == ""
     # the full scoring pipeline runs over WARC-derived pages unchanged
     scored = score_pages(pages)
     assert scored.count() == 2 and "keep" in scored.columns
