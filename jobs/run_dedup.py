@@ -21,7 +21,10 @@ duplicate lines (boilerplate) removed — doc count unchanged, the audit
 row carries lines_dropped; ``index`` persists the corpus's near-dup
 signature index (band buckets + hashed shingles); ``decontaminate``
 drops pages near-duplicating a previously-written index — the prior
-corpus's text is never re-read:
+corpus's text is never re-read; ``full`` (VERDICT r05 #6) runs the whole
+hygiene stack in the canonical order — exact → line → substring →
+neardup — materializing each stage and recording a per-stage audit trail
+whose counts reconcile exactly to the input:
 
   python jobs/run_dedup.py --warehouse /wh --mode index
   python jobs/run_dedup.py --warehouse /wh --mode decontaminate \
@@ -47,7 +50,7 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--out-table", default="pages_deduped")
     p.add_argument("--mode", choices=["exact", "neardup", "canonical",
                                       "line", "index", "decontaminate",
-                                      "substring", "novelty"],
+                                      "substring", "novelty", "full"],
                    default="exact")
     p.add_argument("--min-novelty", type=float, default=0.2,
                    help="--mode novelty drops docs whose corpus n-gram "
@@ -115,6 +118,90 @@ def main(argv: list[str] | None = None) -> dict:
         return {"mode": "index", "docs_in": n_in, "indexed": n_idx,
                 "index_path": idx_path, "sec": sec}
 
+    if args.mode == "full":
+        # the whole hygiene stack, canonical order (VERDICT r05 #6):
+        #   exact -> line -> substring -> neardup
+        # Exact first kills the LSH mega-buckets (identical text shares
+        # every band); line dedup next so boilerplate lines don't inflate
+        # substring/neardup similarity; substring drops template-dominated
+        # docs; neardup last over the already-thinned corpus. Each stage
+        # materializes (persist + count) so the audit trail reconciles
+        # EXACTLY: stage k's docs_in == stage k-1's docs_out, and
+        # n_in == docs_out_final + sum(removed).
+        from data_quality_autohealer_spark.operators import contamination
+        t0 = time.perf_counter()
+        stages = []
+        lines_dropped = 0
+
+        def _materialize(df):
+            df = df.persist()
+            return df, df.count()
+
+        cur, n_cur = pages.persist(), n_in
+        # 1. exact
+        nxt, n_nxt = _materialize(
+            dedup.exact_dedup(cur, text_col="text", id_col="url"))
+        stages.append({"stage": "exact", "docs_in": n_cur,
+                       "docs_out": n_nxt, "removed": n_cur - n_nxt})
+        cur.unpersist()
+        cur, n_cur = nxt, n_nxt
+        # 2. line (doc count unchanged; rewrites text)
+        ld = dedup.line_dedup(cur, min_doc_count=args.min_line_docs,
+                              text_col="text", id_col="url").persist()
+        lines_dropped = int(ld.agg(
+            F.sum("n_lines_dropped")).collect()[0][0] or 0)
+        # LEFT join: null-text docs never enter line_dedup's output and
+        # must pass through untouched (null is absence, never dropped)
+        nxt, n_nxt = _materialize(
+            cur.join(ld.select("url", "text_deduped"), "url", "left")
+               .withColumn("text", F.coalesce("text_deduped", "text"))
+               .drop("text_deduped"))
+        stages.append({"stage": "line", "docs_in": n_cur,
+                       "docs_out": n_nxt, "removed": n_cur - n_nxt,
+                       "lines_dropped": lines_dropped})
+        ld.unpersist()
+        cur.unpersist()
+        cur, n_cur = nxt, n_nxt
+        # 3. substring (drop template/mirror docs dominated by duplicated
+        # runs; blanks are absence and always survive — the summary only
+        # scores non-blank docs)
+        heavy = (contamination.dup_substring_summary(
+            cur, text_col="text", id_col="url", k=args.substring_k)
+            .where(F.col("dup_word_frac") > args.max_dup_word_frac)
+            .select("url"))
+        nxt, n_nxt = _materialize(cur.join(heavy, "url", "left_anti"))
+        stages.append({"stage": "substring", "docs_in": n_cur,
+                       "docs_out": n_nxt, "removed": n_cur - n_nxt})
+        cur.unpersist()
+        cur, n_cur = nxt, n_nxt
+        # 4. neardup
+        nxt, n_nxt = _materialize(dedup.neardup_dedup(
+            cur, text_col="text", id_col="url",
+            shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,
+            threshold=args.jaccard_threshold,
+            max_bucket_size=args.max_bucket_size).drop("bucket"))
+        stages.append({"stage": "neardup", "docs_in": n_cur,
+                       "docs_out": n_nxt, "removed": n_cur - n_nxt})
+        cur.unpersist()
+
+        wh.write_pages(nxt, table=args.out_table)
+        n_out = wh.read_pages(args.out_table).count()
+        nxt.unpersist()
+        sec = round(time.perf_counter() - t0, 2)
+        assert n_out == n_nxt, (n_out, n_nxt)
+        assert n_in == n_out + sum(s["removed"] for s in stages), \
+            (n_in, n_out, stages)  # stages partition the input
+        now = datetime.datetime.now()
+        wh.append_audit(spark.createDataFrame(
+            [(f"dedup-full-{s['stage']}", "dedup", s["docs_in"],
+              round(s["removed"] / max(s["docs_in"], 1), 6), "ok",
+              f"full-chain stage {i + 1}/4 {s['stage']}: "
+              f"{s['docs_in']} -> {s['docs_out']} docs", now)
+             for i, s in enumerate(stages)], AUDIT_SCHEMA))
+        return {"mode": "full", "docs_in": n_in, "docs_out": n_out,
+                "removed": n_in - n_out, "lines_dropped": lines_dropped,
+                "stages": stages, "sec": sec}
+
     t0 = time.perf_counter()
     lines_dropped = None
     cached = []  # unpersisted once the output table is written + counted
@@ -176,8 +263,13 @@ def main(argv: list[str] | None = None) -> dict:
         cached.append(ld)
         lines_dropped = int(ld.agg(
             F.sum("n_lines_dropped")).collect()[0][0] or 0)
-        deduped = pages.drop("text").join(
-            ld.select("url", F.col("text_deduped").alias("text")), "url")
+        # LEFT join: null-text docs never enter line_dedup's output and
+        # must pass through untouched (null is absence, never dropped)
+        deduped = (pages
+                   .join(ld.select("url", "text_deduped"), "url", "left")
+                   .withColumn("text",
+                               F.coalesce("text_deduped", "text"))
+                   .drop("text_deduped"))
     else:
         # exact dedup FIRST: identical-text clusters are the worst LSH
         # mega-buckets (every member shares every band); removing them

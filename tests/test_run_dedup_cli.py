@@ -35,10 +35,13 @@ def test_line_mode_strips_boilerplate_keeps_all_docs(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     rows = [(f"http://b{i}/", f"ACCEPT COOKIES\nreal content {i}")
             for i in range(4)]
+    # null-text doc: absence, passes through the line rewrite untouched
+    # (advice-r05 convention — the join is LEFT, not inner)
+    rows.append(("http://null/", None))
     wh.write_pages(_pages(spark, rows))
     out = run_dedup.main(["--warehouse", str(tmp_path / "wh"),
                           "--mode", "line"])
-    assert out["docs_in"] == 4 and out["docs_out"] == 4
+    assert out["docs_in"] == 5 and out["docs_out"] == 5
     assert out["lines_dropped"] == 4
     texts = {r["url"]: r["text"] for r in
              wh.read_pages("pages_deduped").select("url", "text").collect()}
@@ -226,6 +229,67 @@ def test_substring_mode_drops_heavy_duplication(spark, tmp_path):
             wh.read_pages("pages_deduped").select("url").collect()}
     assert kept == {"http://c/", "http://d/", "http://e/", "http://f/"}
     assert out["docs_in"] == 6 and out["docs_out"] == 4
+
+
+def test_full_mode_runs_whole_stack_with_reconciled_stages(spark, tmp_path):
+    """--mode full composes exact -> line -> substring -> neardup in one
+    pass; the per-stage audit counts must partition the input exactly
+    (VERDICT r05 #6)."""
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    boiler = "ACCEPT COOKIES AND SUBSCRIBE"
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    base = ("the cat sat on the mat and looked at the dog while it "
+            "rained outside all afternoon long")
+    rows = [
+        # exact pair -> one survives stage 1
+        ("http://x1/", "identical page text repeated verbatim elsewhere"),
+        ("http://x2/", "identical page text repeated verbatim elsewhere"),
+        # boilerplate line stripped in stage 2 (docs survive)
+        ("http://l1/", f"{boiler}\nreal content about parquet readers one"),
+        ("http://l2/", f"{boiler}\nreal content about stream watermarks"),
+        # template doc: one big corpus-duplicated run -> stage 3 drop
+        ("http://t1/", shared),
+        ("http://t2/", shared + " with a small tail"),
+        # near-dup pair (one word changed) -> stage 4 keeps one
+        ("http://n1/", base),
+        ("http://n2/", base.replace("looked", "stared")),
+        # unique + blank (absence; must survive every stage)
+        ("http://u1/", "a genuinely unique page discussing adaptive "
+                       "query execution in considerable depth"),
+        ("http://e1/", None),
+    ]
+    wh.write_pages(_pages(spark, rows))
+    out = run_dedup.main(["--warehouse", wh_dir, "--mode", "full",
+                          "--jaccard-threshold", "0.5",
+                          "--max-dup-word-frac", "0.8"])
+    assert [s["stage"] for s in out["stages"]] == [
+        "exact", "line", "substring", "neardup"]
+    # chain reconciles: stage k docs_in == stage k-1 docs_out; removals
+    # partition the input
+    assert out["stages"][0]["docs_in"] == out["docs_in"] == 10
+    for prev, nxt in zip(out["stages"], out["stages"][1:]):
+        assert nxt["docs_in"] == prev["docs_out"]
+    assert out["docs_in"] == out["docs_out"] + sum(
+        s["removed"] for s in out["stages"])
+    assert out["stages"][0]["removed"] == 1          # exact pair
+    assert out["stages"][1]["removed"] == 0          # line keeps docs
+    assert out["stages"][1]["lines_dropped"] == 2    # boiler stripped
+    assert out["stages"][2]["removed"] >= 1          # template farm
+    assert out["stages"][3]["removed"] == 1          # near-dup pair
+    kept = {r["url"]: r["text"] for r in
+            wh.read_pages("pages_deduped").select("url", "text").collect()}
+    assert "http://u1/" in kept and "http://e1/" in kept
+    assert len({"http://n1/", "http://n2/"} & set(kept)) == 1
+    assert len({"http://x1/", "http://x2/"} & set(kept)) == 1
+    # boilerplate line gone from the rewritten survivors
+    assert kept["http://l1/"] == "real content about parquet readers one"
+    # audit trail carries all four stages
+    msgs = [r["message"] for r in wh.read_audit().collect()]
+    for i, st in enumerate(["exact", "line", "substring", "neardup"]):
+        assert any(f"stage {i + 1}/4 {st}" in m for m in msgs)
 
 
 def test_novelty_mode_drops_template_docs(spark, tmp_path):
