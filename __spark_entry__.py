@@ -751,6 +751,28 @@ def _q_token_count_bpe(spark, sf_dir):
 _BPE_MERGES = 16
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Distilled quality classifier (operators/distill.py, VERDICT r05
+    #7): fastText-style linear head over hashed char-trigram features,
+    trained on the heuristic keep/drop labels (80% hash split), scoring
+    every doc. Exact arithmetic end-to-end (polarity weights + micro-int
+    score sums), so the full train+score pipeline is hash-compared
+    against the one-query DuckDB twin."""
+    from data_quality_autohealer_spark.operators import distill
+    labeled = th.with_quality_signals(_docs(spark, sf_dir))
+    return distill.distill_quality_classifier(labeled)
+
+
+def _oracle_quality_classifier() -> str:
+    from data_quality_autohealer_spark.operators import distill
+    reasons = _duck_reasons()
+    labels = (f"select sig.doc_id, d.text, len({reasons}) = 0 as keep "
+              f"from ({_duck_signals_cte()}) sig "
+              f"join (select doc_id, text from documents) d "
+              f"on sig.doc_id = d.doc_id")
+    return distill.duckdb_distill_sql(labels)
+
+
 def _q_main_content_extract(spark, sf_dir):
     """Block-scored main-content extraction (functions/html_extract.py,
     VERDICT r05 #4): each doc's text wrapped in deterministic page chrome
@@ -1581,7 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_quality": _q_charset_quality,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "boilerplate_by_source": _q_boilerplate_by_source,
-        "time_range_join_events": _q_time_range_join_events,
+        "quality_classifier": _q_quality_classifier,
         "lexical_diversity": _q_lexical_diversity,
         "domain_quality": _q_domain_quality,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
@@ -1618,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
+        "time_range_join_events": _q_time_range_join_events,
         "stratified_sample": _q_stratified_sample,
         "quality_strata_approx": _q_quality_strata_approx,
         "semantic_neardup_fast": _q_semantic_neardup_fast,
@@ -1856,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),
+        "quality_classifier": _oracle_quality_classifier(),
         "main_content_extract": _oracle_main_content_extract(),
         "bpe_vocab": bpe.duckdb_bpe_vocab_sql(_BPE_MERGES),
         "bpe_token_count": bpe.duckdb_bpe_token_count_sql(_BPE_MERGES),

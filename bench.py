@@ -83,6 +83,7 @@ HEADLINE = [
     "main_content_extract",
     "bpe_vocab",
     "bpe_token_count",
+    "quality_classifier",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

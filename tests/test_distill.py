@@ -1,0 +1,87 @@
+"""Distilled quality classifier: held-out AUC floors vs the heuristic
+labels, determinism under repartitioning, null/empty-doc zeroing, and
+weight-table bounds.
+
+Measured context for the floors (do not quietly lower): linear hashed-
+trigram heads distill CONTENT-driven labels well (sf0.01 documents table:
+held-out AUC 0.97) but cap near 0.75 on the synthetic web corpus, whose
+heuristic labels hinge on aggregate thresholds (word-count bands,
+dup-ngram fractions) that per-trigram counts can only proxy — the known
+ceiling for rule-distillation with lexical features."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_autohealer_spark import synth
+from data_quality_autohealer_spark.functions import text_heuristics as th
+from data_quality_autohealer_spark.operators import distill
+
+
+def _auc(y: np.ndarray, s: np.ndarray) -> float:
+    r = pd.Series(s).rank(method="average").to_numpy()
+    pos = y.astype(bool)
+    n1, n0 = pos.sum(), (~pos).sum()
+    return float((r[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
+
+
+@pytest.fixture(scope="module")
+def synth_labeled(spark):
+    pages = (synth.gen_pages_df(spark, 8000, num_partitions=8)
+             .withColumnRenamed("url", "doc_id"))
+    df = th.with_quality_signals(pages, "text").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_heldout_auc_floor_synth_corpus(synth_labeled):
+    out = distill.distill_quality_classifier(
+        synth_labeled, id_col="doc_id").toPandas()
+    held = out[~out.is_train]
+    assert len(held) > 1000 and 0.05 < held.keep_heur.mean() < 0.95
+    auc = _auc(held.keep_heur.to_numpy(), held.score_micro.to_numpy())
+    assert auc >= 0.70, auc
+
+
+def test_heldout_auc_floor_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = distill.distill_quality_classifier(
+        th.with_quality_signals(docs, "text")).toPandas()
+    held = out[~out.is_train]
+    auc = _auc(held.keep_heur.to_numpy(), held.score_micro.to_numpy())
+    assert auc >= 0.85, auc
+
+
+def test_deterministic_under_repartition(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = th.with_quality_signals(docs, "text")
+    a = (distill.distill_quality_classifier(lab)
+         .orderBy("doc_id").toPandas())
+    b = (distill.distill_quality_classifier(lab.repartition(13))
+         .orderBy("doc_id").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_null_and_short_text_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(0, None, True), (1, "", False), (2, "ab", True),
+         (3, "a real document with words enough to carry trigrams", True),
+         (4, "another real training document with plenty of text", False)],
+        "doc_id long, text string, keep boolean")
+    out = {r["doc_id"]: r for r in
+           distill.distill_quality_classifier(
+               df, train_frac="1.0").collect()}
+    # no trigrams -> exact zero score, never null, predicted drop
+    for i in (0, 1, 2):
+        assert out[i]["score_micro"] == 0 and out[i]["keep_pred"] is False
+
+
+def test_weight_table_bounds(synth_labeled):
+    w = distill.train_polarity_weights(
+        synth_labeled, id_col="doc_id").toPandas()
+    assert len(w) <= distill.N_BUCKETS
+    # polarity is bounded [-1, 1] => micro weights within +/- 1e6
+    assert w.w_micro.abs().max() <= 1_000_000
+    # both polarities actually learned
+    assert (w.w_micro > 0).any() and (w.w_micro < 0).any()
