@@ -141,32 +141,40 @@ def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
         "merge_rank int, lhs string, rhs string, merged string, freq long")
 
 
-def doc_token_counts(df: DataFrame, merges: list[dict],
-                     text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Per-document token count under a trained merge list:
-    ``(id_col, n_tokens_bpe)``. Shuffle-free — the whole-document
-    representation goes through R literal replaces (merge rules never
-    match across word boundaries; see module docstring), so the plan is a
-    scan + project that survives any scale-up."""
+def with_bpe_token_counts(df: DataFrame, merges: list[dict],
+                          text_col: str = "text",
+                          out_col: str = "n_tokens_bpe") -> DataFrame:
+    """Append the per-document token count under a trained merge list as
+    ``out_col``, preserving every other column. Shuffle-free — the
+    whole-document representation goes through R literal replaces (merge
+    rules never match across word boundaries; see module docstring), so
+    the plan stays scan + project at any scale."""
     words = F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), "
                    f"'{WORD_RE}', 0)")
-    staged = df.select(id_col, words.alias("_ws"))
+    out = df.withColumn("_ws", words)
     repr0 = F.expr(
         "concat('||', array_join(transform(_ws, "
         f"w -> concat(regexp_replace(w, '(.)', '$1||'), '{END_WORD}')), "
         "'||'), '||')")
-    out = staged.select(id_col, F.size("_ws").alias("_nw"),
-                        repr0.alias("_repr"))
+    out = out.withColumn("_nw", F.size("_ws")).withColumn("_repr", repr0)
     for m in merges:
         pat, rep = _merge_pattern(m["lhs"], m["rhs"])
         out = out.withColumn(
             "_repr", F.replace(F.col("_repr"), F.lit(pat), F.lit(rep)))
-    return out.select(
-        id_col,
+    return (out.withColumn(
+        out_col,
         F.expr("cast(case when _nw = 0 then 0 "
-               "else size(split(_repr, '[|][|]')) - 2 end as bigint)")
-        .alias("n_tokens_bpe"))
+               "else size(split(_repr, '[|][|]')) - 2 end as bigint)"))
+        .drop("_ws", "_nw", "_repr"))
+
+
+def doc_token_counts(df: DataFrame, merges: list[dict],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, n_tokens_bpe)`` — see :func:`with_bpe_token_counts`."""
+    return with_bpe_token_counts(
+        df.select(id_col, text_col), merges, text_col).select(
+        id_col, "n_tokens_bpe")
 
 
 # ---------------------------------------------------------------------------

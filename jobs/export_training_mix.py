@@ -40,13 +40,20 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                shards: int, salt: str = "mix",
                default_rate: float = 1.0,
                token_budgets: dict[str, int] | None = None,
-               default_budget: int = 0) -> dict:
+               default_budget: int = 0,
+               tokenizer: str = "words",
+               bpe_merges: int = 16) -> dict:
     """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary.
 
     Two mixture modes: ``rates`` (per-lang doc-rate hash sampling, the
     default) or ``token_budgets`` (per-lang running-TOKEN budget via
     curation.token_budget_sample — training mixes are usually specified
-    in tokens; whole docs, deterministic hash order)."""
+    in tokens; whole docs, deterministic hash order). With token budgets,
+    ``tokenizer`` picks the counting scheme: ``'words'`` (whitespace
+    census) or ``'bpe'`` (train a deterministic BPE vocab on the clean
+    corpus — functions/bpe.py — and budget by trained-vocab token counts,
+    the unit a real training mix is specified in; counting stays a
+    shuffle-free per-row replace chain)."""
     from pyspark.sql import functions as F
 
     from data_quality_autohealer_spark.functions import text_heuristics as th
@@ -57,10 +64,21 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
     from data_quality_autohealer_spark.sources.tables import write_jsonl
 
     if token_budgets:
-        wc = (f"case when text is null or trim(text) = '' then 0 "
-              f"else size({th._spark_words('text')}) end")
+        if tokenizer == "bpe":
+            from data_quality_autohealer_spark.functions import bpe
+            merges = bpe.train_bpe_merges(clean, text_col="text",
+                                          num_merges=bpe_merges)
+            counted = bpe.with_bpe_token_counts(
+                clean, merges, text_col="text", out_col="word_count")
+        elif tokenizer == "words":
+            wc = (f"case when text is null or trim(text) = '' then 0 "
+                  f"else size({th._spark_words('text')}) end")
+            counted = clean.withColumn("word_count", F.expr(wc))
+        else:
+            raise ValueError(f"tokenizer must be 'words' or 'bpe', "
+                             f"got {tokenizer!r}")
         sampled = token_budget_sample(
-            clean.withColumn("word_count", F.expr(wc)),
+            counted,
             token_budgets, token_col="word_count", strata_col="lang",
             id_col="url", default_budget=default_budget, salt=salt,
             keep_cols=("text",))
@@ -125,6 +143,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "--rates with per-lang running-token budgets "
                         "(whole docs, deterministic hash order)")
     p.add_argument("--default-budget", type=int, default=0)
+    p.add_argument("--tokenizer", choices=["words", "bpe"],
+                   default="words",
+                   help="token counting for --token-budgets: whitespace "
+                        "words, or a BPE vocab trained deterministically "
+                        "on the clean corpus (--bpe-merges rounds)")
+    p.add_argument("--bpe-merges", type=int, default=16)
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--salt", default="mix")
     p.add_argument("--master", default=None)
@@ -142,7 +166,9 @@ def main(argv: list[str] | None = None) -> dict:
                       args.shards, args.salt,
                       default_rate=args.default_rate,
                       token_budgets=budgets or None,
-                      default_budget=args.default_budget)
+                      default_budget=args.default_budget,
+                      tokenizer=args.tokenizer,
+                      bpe_merges=args.bpe_merges)
 
 
 if __name__ == "__main__":

@@ -85,3 +85,44 @@ def test_export_token_budget_mode(spark, tmp_path):
     u2 = {r["url"] for r in
           spark.read.json(str(tmp_path / "b2")).select("url").collect()}
     assert u1 == u2
+
+
+def test_export_token_budget_bpe_tokenizer(spark, tmp_path):
+    """--tokenizer bpe budgets by TRAINED-vocab token counts: the cap is
+    honored under the learned counts (verified against an independent
+    recount via functions/bpe), and the doc set is deterministic."""
+    from pyspark.sql import functions as F
+
+    from data_quality_autohealer_spark.functions import bpe
+
+    wh_dir = _clean_warehouse(spark, tmp_path, n=1200)
+    out = str(tmp_path / "bpe_mix")
+    s = ex.main(["--warehouse", wh_dir, "--out", out,
+                 "--token-budgets", "en=4000,de=2000",
+                 "--tokenizer", "bpe", "--bpe-merges", "8",
+                 "--shards", "4"])
+    assert s["docs_out"] > 0
+    assert s["by_lang"]["en"]["tokens"] <= 4000
+    # recount the exported docs with an independently trained vocab
+    # (same corpus, same merge count -> identical merges) and confirm
+    # the reported per-lang totals are BPE counts, not word counts
+    wh = Warehouse(spark, wh_dir, num_buckets=4)
+    clean = wh.read_clean()
+    merges = bpe.train_bpe_merges(clean, text_col="text", num_merges=8)
+    back = spark.read.json(out)
+    joined = bpe.with_bpe_token_counts(
+        back.select("url", "lang", "text"), merges, text_col="text")
+    totals = {r["lang"]: r["t"] for r in
+              joined.groupBy("lang")
+              .agg(F.sum("n_tokens_bpe").alias("t")).collect()}
+    for lang, rec in s["by_lang"].items():
+        assert totals.get(lang, 0) == rec["tokens"], (lang, totals, rec)
+    # deterministic doc set on re-run
+    s2 = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "bm2"),
+                  "--token-budgets", "en=4000,de=2000",
+                  "--tokenizer", "bpe", "--bpe-merges", "8",
+                  "--shards", "4"])
+    u1 = {r["url"] for r in back.select("url").collect()}
+    u2 = {r["url"] for r in
+          spark.read.json(str(tmp_path / "bm2")).select("url").collect()}
+    assert u1 == u2
