@@ -141,6 +141,35 @@ def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
         "merge_rank int, lhs string, rhs string, merged string, freq long")
 
 
+def save_merges(spark: SparkSession, merges: list[dict],
+                path: str) -> None:
+    """Persist a trained merge list (train once, tokenize everywhere —
+    the tokenizer analogue of the langid/perplexity save/load contract).
+    Parquet through the session's Hadoop FS, so hdfs:/s3a: paths work."""
+    merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[dict]:
+    """Load a persisted merge list; validates rank contiguity (a partial
+    or reordered table silently mis-tokenizes, so fail loudly)."""
+    rows = sorted(spark.read.parquet(path).collect(),
+                  key=lambda r: r["merge_rank"])
+    merges = [{"merge_rank": r["merge_rank"], "lhs": r["lhs"],
+               "rhs": r["rhs"], "merged": r["merged"],
+               "freq": r["freq"]} for r in rows]
+    want = list(range(1, len(merges) + 1))
+    if [m["merge_rank"] for m in merges] != want or not merges:
+        raise ValueError(
+            f"BPE vocab at {path} is not a contiguous rank-1..R merge "
+            f"list (got ranks {[m['merge_rank'] for m in merges]!r}) — "
+            f"applying it would silently mis-tokenize")
+    for m in merges:
+        if m["merged"] != m["lhs"] + m["rhs"]:
+            raise ValueError(f"corrupt merge row {m!r}")
+    return merges
+
+
 def with_bpe_token_counts(df: DataFrame, merges: list[dict],
                           text_col: str = "text",
                           out_col: str = "n_tokens_bpe") -> DataFrame:

@@ -42,7 +42,9 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                token_budgets: dict[str, int] | None = None,
                default_budget: int = 0,
                tokenizer: str = "words",
-               bpe_merges: int = 16) -> dict:
+               bpe_merges: int = 16,
+               bpe_vocab: str | None = None,
+               bpe_vocab_out: str | None = None) -> dict:
     """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary.
 
     Two mixture modes: ``rates`` (per-lang doc-rate hash sampling, the
@@ -66,8 +68,16 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
     if token_budgets:
         if tokenizer == "bpe":
             from data_quality_autohealer_spark.functions import bpe
-            merges = bpe.train_bpe_merges(clean, text_col="text",
-                                          num_merges=bpe_merges)
+            # train once, tokenize everywhere: a persisted vocab
+            # (--bpe-vocab) skips retraining, so every export of a
+            # growing corpus counts with the SAME tokenizer
+            if bpe_vocab:
+                merges = bpe.load_merges(spark, bpe_vocab)
+            else:
+                merges = bpe.train_bpe_merges(clean, text_col="text",
+                                              num_merges=bpe_merges)
+            if bpe_vocab_out:
+                bpe.save_merges(spark, merges, bpe_vocab_out)
             counted = bpe.with_bpe_token_counts(
                 clean, merges, text_col="text", out_col="word_count")
         elif tokenizer == "words":
@@ -149,6 +159,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "words, or a BPE vocab trained deterministically "
                         "on the clean corpus (--bpe-merges rounds)")
     p.add_argument("--bpe-merges", type=int, default=16)
+    p.add_argument("--bpe-vocab", default=None,
+                   help="path of a persisted merge table (bpe.save_merges)"
+                        " to tokenize with instead of retraining")
+    p.add_argument("--bpe-vocab-out", default=None,
+                   help="persist the (trained or loaded) merge table here")
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--salt", default="mix")
     p.add_argument("--master", default=None)
@@ -168,7 +183,9 @@ def main(argv: list[str] | None = None) -> dict:
                       token_budgets=budgets or None,
                       default_budget=args.default_budget,
                       tokenizer=args.tokenizer,
-                      bpe_merges=args.bpe_merges)
+                      bpe_merges=args.bpe_merges,
+                      bpe_vocab=args.bpe_vocab,
+                      bpe_vocab_out=args.bpe_vocab_out)
 
 
 if __name__ == "__main__":

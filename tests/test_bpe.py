@@ -128,3 +128,26 @@ def test_min_freq_caps_census(corpus_df):
     assert [m["merge_rank"] for m in merges] == [1, 2, 3]
     for m in merges:
         assert m["merged"] == m["lhs"] + m["rhs"] and m["freq"] >= 2
+
+
+def test_save_load_merges_roundtrip(spark, corpus_df, tmp_path):
+    merges = bpe.train_bpe_merges(corpus_df, num_merges=4)
+    path = str(tmp_path / "vocab")
+    bpe.save_merges(spark, merges, path)
+    assert bpe.load_merges(spark, path) == merges
+    # tokenization with the loaded vocab is identical
+    a = {r["doc_id"]: r["n_tokens_bpe"]
+         for r in bpe.doc_token_counts(corpus_df, merges).collect()}
+    b = {r["doc_id"]: r["n_tokens_bpe"]
+         for r in bpe.doc_token_counts(
+             corpus_df, bpe.load_merges(spark, path)).collect()}
+    assert a == b
+
+
+def test_load_merges_rejects_gapped_ranks(spark, corpus_df, tmp_path):
+    merges = bpe.train_bpe_merges(corpus_df, num_merges=4)
+    path = str(tmp_path / "gapped")
+    bpe.save_merges(spark, [m for m in merges if m["merge_rank"] != 2],
+                    path)
+    with pytest.raises(ValueError, match="contiguous"):
+        bpe.load_merges(spark, path)
