@@ -820,6 +820,26 @@ def _q_bpe_token_count(spark, sf_dir):
     return bpe.doc_token_counts(docs, merges)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Actual token sequences under the corpus-trained vocab (the payload
+    a packing/training job consumes), flattened to CSV for the
+    cross-engine hash (tokens never contain spaces)."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe_merges(docs, num_merges=_BPE_MERGES)
+    return bpe.doc_tokens(docs, merges).selectExpr(
+        "doc_id",
+        "cast(size(tokens) as bigint) as n_tokens",
+        "array_join(tokens, ' ') as tokens_csv")
+
+
+def _oracle_bpe_encode() -> str:
+    enc = bpe.duckdb_bpe_encode_sql(_BPE_MERGES)
+    # array_to_string on an EMPTY list is NULL in DuckDB — coalesce
+    return (f"select doc_id, len(tokens)::bigint as n_tokens, "
+            f"coalesce(array_to_string(tokens, ' '), '') as tokens_csv "
+            f"from ({enc})")
+
+
 def _q_readability(spark, sf_dir):
     # Flesch-Kincaid-style grade from cheap proxies (vowel-group syllables,
     # terminal-punct sentences) — the readability band filter corpus
@@ -1639,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "bpe_encode": _q_bpe_encode,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "time_range_join_events": _q_time_range_join_events,
         "stratified_sample": _q_stratified_sample,
@@ -1883,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content_extract": _oracle_main_content_extract(),
         "bpe_vocab": bpe.duckdb_bpe_vocab_sql(_BPE_MERGES),
         "bpe_token_count": bpe.duckdb_bpe_token_count_sql(_BPE_MERGES),
+        "bpe_encode": _oracle_bpe_encode(),
         "ngram_novelty": _oracle_ngram_novelty(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),

@@ -206,6 +206,30 @@ def doc_token_counts(df: DataFrame, merges: list[dict],
         id_col, "n_tokens_bpe")
 
 
+def doc_tokens(df: DataFrame, merges: list[dict],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, tokens array<string>)`` — the actual token sequence a
+    packing/training job consumes (same replace chain; the final split's
+    non-empty cells ARE the tokens, in document order). Shuffle-free."""
+    words = F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+                   f"'{WORD_RE}', 0)")
+    out = df.select(id_col, words.alias("_ws"))
+    repr0 = F.expr(
+        "concat('||', array_join(transform(_ws, "
+        f"w -> concat(regexp_replace(w, '(.)', '$1||'), '{END_WORD}')), "
+        "'||'), '||')")
+    out = out.select(id_col, repr0.alias("_repr"))
+    for m in merges:
+        pat, rep = _merge_pattern(m["lhs"], m["rhs"])
+        out = out.withColumn(
+            "_repr", F.replace(F.col("_repr"), F.lit(pat), F.lit(rep)))
+    return out.select(
+        id_col,
+        F.expr("filter(split(_repr, '[|][|]'), s -> s != '')")
+        .alias("tokens"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins (engine-identical SQL, fixed-depth unrolled merge loop)
 # ---------------------------------------------------------------------------
@@ -259,10 +283,9 @@ def duckdb_bpe_vocab_sql(num_merges: int = DEFAULT_MERGES,
             f"select * from ({sel})")
 
 
-def duckdb_bpe_token_count_sql(num_merges: int = DEFAULT_MERGES,
-                               table: str = "documents",
-                               text_col: str = "text",
-                               id_col: str = "doc_id") -> str:
+def _duckdb_doc_chain(num_merges: int, table: str, text_col: str,
+                      id_col: str) -> str:
+    """WITH-clause body ending at dr{num_merges} (per-doc repr chain)."""
     parts = [
         duckdb_bpe_cte(num_merges, table, text_col),
         f"dw as (select {id_col}, regexp_extract_all("
@@ -279,8 +302,27 @@ def duckdb_bpe_token_count_sql(num_merges: int = DEFAULT_MERGES,
             f"(select '|' || l || '||' || r || '|' from b{n}), "
             f"(select '|' || l || r || '|' from b{n})) as repr "
             f"from dr{n - 1})")
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def duckdb_bpe_token_count_sql(num_merges: int = DEFAULT_MERGES,
+                               table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    body = _duckdb_doc_chain(num_merges, table, text_col, id_col)
     return (f"with {body}\n"
             f"select {id_col}, (case when nw = 0 then 0 "
             f"else len(string_split(repr, '||')) - 2 end)::bigint "
             f"as n_tokens_bpe from dr{num_merges}")
+
+
+def duckdb_bpe_encode_sql(num_merges: int = DEFAULT_MERGES,
+                          table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """Token ARRAYS under the trained vocab (twin of :func:`doc_tokens`)."""
+    body = _duckdb_doc_chain(num_merges, table, text_col, id_col)
+    return (f"with {body}\n"
+            f"select {id_col}, "
+            f"list_filter(string_split(repr, '||'), s -> s != '') "
+            f"as tokens from dr{num_merges}")

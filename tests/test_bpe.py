@@ -151,3 +151,13 @@ def test_load_merges_rejects_gapped_ranks(spark, corpus_df, tmp_path):
                     path)
     with pytest.raises(ValueError, match="contiguous"):
         bpe.load_merges(spark, path)
+
+
+def test_doc_tokens_match_canonical_segmentation(corpus_df):
+    ref_merges, vocab = _ref_train(TEXTS, R)
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in bpe.doc_tokens(corpus_df, ref_merges).collect()}
+    for i, t in enumerate(TEXTS):
+        want = [s for w in re.findall("[a-z]+", (t or "").lower())
+                for s in vocab[w]]
+        assert got[i] == want, (i, got[i], want)
