@@ -24,8 +24,8 @@ from data_quality_autohealer_spark.functions import bpe
 from data_quality_autohealer_spark.functions import scrub as scrub_mod
 from data_quality_autohealer_spark.functions import text_heuristics as th
 from data_quality_autohealer_spark.operators import (
-    clustering, contamination, curation, dedup, profiler, sessions,
-    similarity, skew, temporal,
+    clustering, contamination, curation, dedup, profiler, repetition,
+    sessions, similarity, skew, temporal,
 )
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
@@ -1496,6 +1496,20 @@ def _oracle_ngram_novelty() -> str:
     return dedup.duckdb_ngram_novelty_sql("documents")
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    # Gopher-style repetition char-mass family (round 6): dup-word frac,
+    # top-{2,3,4}-gram char frac, dup-{5..10}-gram char frac per doc —
+    # one explode of 8-byte packed (n, glen, md5-48) keys, group counts,
+    # windowed tie-broken top gram. Complements the occurrence-based
+    # dup_{2,3,4}gram_frac already inside quality_signals.
+    return repetition.gopher_repetition(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _oracle_gopher_repetition() -> str:
+    return repetition.duckdb_gopher_repetition_sql("documents")
+
+
 def _q_charset_quality(spark, sf_dir):
     # character-class quality signals (round 5): non-ASCII / digit /
     # uppercase / whitespace ratios — pure counting exprs, engine-paired
@@ -1659,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "gopher_repetition": _q_gopher_repetition,
         "bpe_encode": _q_bpe_encode,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "time_range_join_events": _q_time_range_join_events,
@@ -1906,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": bpe.duckdb_bpe_token_count_sql(_BPE_MERGES),
         "bpe_encode": _oracle_bpe_encode(),
         "ngram_novelty": _oracle_ngram_novelty(),
+        "gopher_repetition": _oracle_gopher_repetition(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),
