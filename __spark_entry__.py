@@ -773,6 +773,29 @@ def _oracle_quality_classifier() -> str:
     return distill.duckdb_distill_sql(labels)
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection (round 6): per cluster,
+    keep the member with the highest distilled-classifier score (tie: min
+    id) instead of the arbitrary min-id representative — near-dup clusters
+    usually mix a clean page with boilerplate-laden mirrors. Composes the
+    two independently-verified pipelines (neardup_groups +
+    quality_classifier); exact integer scores make the argmax
+    engine-reproducible."""
+    from data_quality_autohealer_spark.operators import distill
+    docs = _docs(spark, sf_dir)
+    labeled = th.with_quality_signals(docs)
+    scores = distill.distill_quality_classifier(labeled).select(
+        "doc_id", "score_micro")
+    groups = dedup.neardup_groups(docs.select("doc_id", "text"))
+    return dedup.keep_best_representatives(groups, scores)
+
+
+def _oracle_dedup_keep_best() -> str:
+    return dedup.duckdb_keep_best_sql(
+        dedup.duckdb_neardup_groups_sql("documents"),
+        _oracle_quality_classifier())
+
+
 def _q_main_content_extract(spark, sf_dir):
     """Block-scored main-content extraction (functions/html_extract.py,
     VERDICT r05 #4): each doc's text wrapped in deterministic page chrome
@@ -1674,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "gopher_repetition": _q_gopher_repetition,
+        "dedup_keep_best": _q_dedup_keep_best,
         "bpe_encode": _q_bpe_encode,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "time_range_join_events": _q_time_range_join_events,
@@ -1922,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _oracle_bpe_encode(),
         "ngram_novelty": _oracle_ngram_novelty(),
         "gopher_repetition": _oracle_gopher_repetition(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

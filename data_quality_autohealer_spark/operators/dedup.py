@@ -1246,3 +1246,73 @@ def duckdb_ngram_novelty_vs_census_sql(new_table: str, ref_table: str,
         from gnew g join comb c using (h)
         group by g.{id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection (round 6)
+# ---------------------------------------------------------------------------
+
+
+def keep_best_representatives(groups: DataFrame, scores: DataFrame,
+                              id_col: str = "doc_id",
+                              score_col: str = "score_micro") -> DataFrame:
+    """Quality-aware survivor per near-dup cluster: instead of min-id, keep
+    the member with the HIGHEST quality score (tie: smallest id) — the
+    standard web-pipeline refinement (near-dup clusters usually mix a clean
+    page with boilerplate-laden mirrors; min-id keeps an arbitrary one).
+
+    ``groups``: (id, rep_id, cluster_size) as produced by
+    :func:`neardup_groups`. ``scores``: (id, score) — any deterministic
+    integer score; the distilled classifier's ``score_micro`` is the
+    intended feed (exact integer sums, so the argmax is reproducible and
+    oracle-checkable; a float score would make ties engine-dependent).
+
+    Scale shape: the join is id-equi (clustered docs only, a small
+    fraction of the corpus), and the window partitions by cluster — state
+    per reducer is one cluster's members, never the corpus.
+
+    Returns (rep_id, kept_id, kept_<score_col>, cluster_size).
+    """
+    from pyspark.sql import Window
+    j = groups.join(scores.select(id_col, score_col), id_col)
+    win = Window.partitionBy("rep_id").orderBy(
+        F.desc(score_col), F.asc(id_col))
+    return (j.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("rep_id",
+                    F.col(id_col).alias("kept_id"),
+                    F.col(score_col).alias(f"kept_{score_col}"),
+                    "cluster_size"))
+
+
+def neardup_dedup_keep_best(df: DataFrame, scores: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            score_col: str = "score_micro",
+                            **kwargs) -> DataFrame:
+    """Pipeline hook: drop every clustered doc except its best-scoring
+    member; docs in no cluster pass through (cf. :func:`neardup_dedup`,
+    the min-id variant)."""
+    groups = neardup_groups(df, text_col, id_col, **kwargs)
+    kept = keep_best_representatives(groups, scores, id_col, score_col)
+    drop = (groups.join(kept.selectExpr(f"kept_id as {id_col}"),
+                        id_col, "left_anti").select(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def duckdb_keep_best_sql(groups_sql: str, scores_sql: str,
+                         id_col: str = "doc_id",
+                         score_col: str = "score_micro") -> str:
+    """Engine twin of :func:`keep_best_representatives`. ``groups_sql`` /
+    ``scores_sql`` are full SELECTs (nested WITH is legal in DuckDB
+    subqueries) yielding the neardup_groups / score shapes."""
+    return f"""
+        select rep_id, kept_id, kept_{score_col}, cluster_size from (
+            select g.rep_id, g.{id_col} as kept_id,
+                   s.{score_col} as kept_{score_col}, g.cluster_size,
+                   row_number() over (partition by g.rep_id
+                                      order by s.{score_col} desc,
+                                               g.{id_col} asc) as rn
+            from ({groups_sql}) g
+            join ({scores_sql}) s using ({id_col})
+        ) where rn = 1
+    """
