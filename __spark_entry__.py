@@ -773,6 +773,34 @@ def _oracle_quality_classifier() -> str:
     return distill.duckdb_distill_sql(labels)
 
 
+_BL_URL_SPARK = (
+    "concat('http://', element_at(array('', 'www.', 'ads.sub.'), "
+    "cast(doc_id % 3 as int) + 1), 'host', cast(doc_id % 50 as string), "
+    "'.example/p/', cast(doc_id % 7 as string))")
+_BL_URL_DUCK = (
+    "'http://' || ['', 'www.', 'ads.sub.'][(doc_id % 3)::int + 1] || "
+    "'host' || (doc_id % 50)::varchar || '.example/p/' || "
+    "(doc_id % 7)::varchar")
+
+
+def _q_domain_blocklist(spark, sf_dir):
+    """Registered-domain blocklist filtering (round 6): subdomain-bearing
+    URLs collapse to their registered domain (last two labels) before a
+    BROADCAST join against the blocklist table — UT1-list semantics, vs
+    url_quality's inline exact-host screen. The blocklist is the
+    deterministic md5 stand-in (no external data in the sandbox); a real
+    pipeline reads the UT1 file instead and nothing else changes."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_BL_URL_SPARK} as url")
+    bl = curation.synthetic_blocklist(docs)
+    return curation.apply_domain_blocklist(docs, bl)
+
+
+def _oracle_domain_blocklist() -> str:
+    return curation.duckdb_domain_blocklist_sql(
+        f"(select doc_id, {_BL_URL_DUCK} as url from documents)")
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dup survivor selection (round 6): per cluster,
     keep the member with the highest distilled-classifier score (tie: min
@@ -1698,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "gopher_repetition": _q_gopher_repetition,
         "dedup_keep_best": _q_dedup_keep_best,
+        "domain_blocklist": _q_domain_blocklist,
         "bpe_encode": _q_bpe_encode,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "time_range_join_events": _q_time_range_join_events,
@@ -1947,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _oracle_ngram_novelty(),
         "gopher_repetition": _oracle_gopher_repetition(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
+        "domain_blocklist": _oracle_domain_blocklist(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

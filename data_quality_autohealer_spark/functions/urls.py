@@ -103,3 +103,29 @@ def derived_url_sql(engine: str, id_col: str = "doc_id") -> str:
         f"     else '' end, "
         f"case when {id_col} % 5 = 0 then '#section' else '' end)"
     )
+
+
+def host_sql(url: str, engine: str) -> str:
+    """Authority host of ``url``, lowercased: the chars after ``scheme://``
+    up to the first ``/ ? # :`` (port and userinfo-free synth URLs). '' for
+    non-URL strings in both engines."""
+    e = f"regexp_extract(lower({url}), '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+    return f"coalesce({e}, '')"
+
+
+def registered_domain_sql(host: str, engine: str) -> str:
+    """Last two dot-labels of ``host`` — the registered domain under
+    single-label public suffixes (.com/.org/.example). A real public-suffix
+    list (co.uk etc.) is a data file this sandbox does not ship; the
+    two-label rule is the deterministic stand-in and the join key contract
+    is unchanged when one is swapped in. ``host`` should be a staged
+    column: the split is referenced three times (CLAUDE.md
+    multi-reference convention)."""
+    if engine == "spark":
+        parts = f"split({host}, '[.]')"
+        return (f"case when size({parts}) <= 2 then {host} "
+                f"else concat(element_at({parts}, -2), '.', "
+                f"element_at({parts}, -1)) end")
+    parts = f"string_split({host}, '.')"
+    return (f"case when len({parts}) <= 2 then {host} "
+            f"else {parts}[-2] || '.' || {parts}[-1] end")

@@ -248,3 +248,76 @@ def duckdb_top_terms_sql(table: str, text_col: str = "text",
         select {group_col}, term, n, rank::int as rank from r
         where rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (round 6)
+# ---------------------------------------------------------------------------
+
+
+def apply_domain_blocklist(df: DataFrame, blocklist: DataFrame,
+                           url_col: str = "url",
+                           id_col: str = "doc_id") -> DataFrame:
+    """UT1-style domain blocklist filtering: flag every doc whose URL's
+    REGISTERED domain appears in the blocklist — subdomains match for
+    free (``ads.host3.example`` collapses to ``host3.example`` before the
+    join), the semantics curation pipelines want from adult/malware lists.
+
+    ``blocklist``: one column ``domain`` of registered domains. It is
+    broadcast (real UT1 categories are a few MB — never shuffle the
+    corpus against a dim table); the corpus side is a shuffle-free
+    projection, so the whole op adds zero exchanges to a scan.
+
+    Returns (id, host, reg_domain, blocked) — a flag, not a drop:
+    downstream decides (curation convention: null/absence is never a
+    silent drop)."""
+    from ..functions import urls
+    base = (df.selectExpr(id_col, f"{urls.host_sql(url_col, 'spark')} as host")
+            .selectExpr(id_col, "host",
+                        f"{urls.registered_domain_sql('host', 'spark')}"
+                        f" as reg_domain"))
+    bl = blocklist.selectExpr("domain as _bl_domain").distinct()
+    return (base.join(F.broadcast(bl),
+                      base.reg_domain == F.col("_bl_domain"), "left")
+            .selectExpr(id_col, "host", "reg_domain",
+                        "_bl_domain is not null as blocked"))
+
+
+# deterministic sandbox stand-in for an external UT1 list: registered
+# domains whose md5 starts with hex 0-3 (a stable ~25% of domains)
+_BL_PRED = "substring(md5(reg_domain), 1, 1) in ('0', '1', '2', '3')"
+
+
+def synthetic_blocklist(df: DataFrame, url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Derive the deterministic stand-in blocklist (``domain`` column) from
+    the corpus itself — no external data ships in this sandbox; a real
+    pipeline reads the UT1 parquet/CSV instead and nothing else changes."""
+    from ..functions import urls
+    return (df.selectExpr(f"{urls.host_sql(url_col, 'spark')} as host")
+            .selectExpr(f"{urls.registered_domain_sql('host', 'spark')}"
+                        f" as reg_domain")
+            .where(_BL_PRED)
+            .selectExpr("reg_domain as domain").distinct())
+
+
+def duckdb_domain_blocklist_sql(table_with_url: str, url_col: str = "url",
+                                id_col: str = "doc_id") -> str:
+    """Engine twin of :func:`apply_domain_blocklist` fed by
+    :func:`synthetic_blocklist` — one query, same md5 predicate."""
+    from ..functions import urls
+    host = urls.host_sql(url_col, "duck")
+    reg = urls.registered_domain_sql("host", "duck")
+    pred = _BL_PRED.replace("substring(", "substr(")
+    return f"""
+        with base as (
+            select {id_col}, host, {reg} as reg_domain
+            from (select {id_col}, {host} as host from {table_with_url})
+        ), bl as (
+            select distinct reg_domain as bl_domain from base
+            where {pred}
+        )
+        select {id_col}, host, reg_domain,
+               bl.bl_domain is not null as blocked
+        from base left join bl on base.reg_domain = bl.bl_domain
+    """

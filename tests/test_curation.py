@@ -151,3 +151,39 @@ def test_quality_strata_approx_empty_and_null_edges(spark):
     # NULLs occupy the low stratum on both paths
     assert exact[1] >= 5 and approx[1] >= 5
     assert sum(exact.values()) == sum(approx.values()) == 100
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_subdomains_collapse_and_match(spark):
+    docs = spark.createDataFrame(
+        [(1, "http://bad.example/x"),
+         (2, "http://ads.sub.bad.example/y"),      # subdomain of blocked
+         (3, "http://good.example/z"),
+         (4, "not a url at all"),
+         (5, None)],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.apply_domain_blocklist(docs, bl).collect()}
+    assert out[1]["blocked"] and out[2]["blocked"]
+    assert out[2]["reg_domain"] == "bad.example"
+    assert not out[3]["blocked"]
+    assert out[4]["host"] == "" and not out[4]["blocked"]
+    assert out[5]["host"] == "" and not out[5]["blocked"]   # null is absence
+    assert len(out) == 5                                    # flag, never drop
+
+
+def test_blocklist_join_is_broadcast(spark):
+    import io
+    from contextlib import redirect_stdout
+    docs = spark.createDataFrame(
+        [(1, "http://a.example/x")], "doc_id long, url string")
+    bl = spark.createDataFrame([("a.example",)], "domain string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curation.apply_domain_blocklist(docs, bl).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
