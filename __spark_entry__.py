@@ -773,6 +773,23 @@ def _oracle_quality_classifier() -> str:
     return distill.duckdb_distill_sql(labels)
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-weighted mixture allocation (round 6): split a 1M-token
+    budget across languages by sqrt(token_count) weights (alpha=0.5 —
+    sqrt is IEEE exactly-rounded, so the whole computation is engine-exact
+    integer arithmetic after one rounding). The knob multilingual training
+    mixes actually use; complements token_budget_sample, which consumes
+    the resulting per-stratum budgets."""
+    df = th.with_quality_signals(_docs(spark, sf_dir))
+    return curation.temperature_mix_allocation(df, total_budget=1_000_000)
+
+
+def _oracle_temperature_mix() -> str:
+    wc = th.duckdb_signal_sql("text")["word_count"]
+    return curation.duckdb_temperature_mix_sql(
+        "documents", 1_000_000, token_expr=wc)
+
+
 _BL_URL_SPARK = (
     "concat('http://', element_at(array('', 'www.', 'ads.sub.'), "
     "cast(doc_id % 3 as int) + 1), 'host', cast(doc_id % 50 as string), "
@@ -1727,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "dedup_keep_best": _q_dedup_keep_best,
         "domain_blocklist": _q_domain_blocklist,
+        "temperature_mix": _q_temperature_mix,
         "bpe_encode": _q_bpe_encode,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "time_range_join_events": _q_time_range_join_events,
@@ -1977,6 +1995,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _oracle_gopher_repetition(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
         "domain_blocklist": _oracle_domain_blocklist(),
+        "temperature_mix": _oracle_temperature_mix(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

@@ -321,3 +321,84 @@ def duckdb_domain_blocklist_sql(table_with_url: str, url_col: str = "url",
                bl.bl_domain is not null as blocked
         from base left join bl on base.reg_domain = bl.bl_domain
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture allocation (round 6)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix_allocation(df: DataFrame, total_budget: int,
+                               alpha: float = 0.5,
+                               token_col: str = "word_count",
+                               strata_col: str = "lang",
+                               scale: int = 1_000_000) -> DataFrame:
+    """Split a total token budget across strata by temperature sampling
+    (multilingual-training standard: weight T_i^alpha instead of T_i, so
+    low-resource strata are up-sampled; alpha=1 is proportional, alpha→0
+    uniform).
+
+    Exactness: alpha=0.5 (the default) computes sqrt, which IEEE-754
+    requires to be exactly rounded — bit-identical in Spark, DuckDB and
+    numpy — then rounds HALF_UP to a micro-int; weight sums and the
+    allocation are pure bigint arithmetic from there (order-independent,
+    oracle-checkable). Any other alpha goes through pow(), whose last ulp
+    is libm's choice — fine for the CLI, NOT oracle-exact (CLAUDE.md
+    ln()/libm rule).
+
+    Allocations floor-divide, so up to n_strata-1 tokens of the budget
+    stay unallocated — callers wanting exhaustion give the remainder to
+    their largest stratum. ``total_budget * max(s_micro)`` must stay
+    below 2^63 (s_micro ≈ sqrt(tokens)·scale; at 1e12 tokens/stratum and
+    the default scale that bounds budget at ~9e6 × 1e... callers with
+    planet-scale budgets drop ``scale`` to 1e3).
+
+    Scale shape: one agg to strata cardinality (dozens of languages /
+    thousands of domains), then an unpartitioned window over that tiny
+    frame — never over the corpus.
+
+    Returns (strata, token_count, weight, alloc_tokens).
+    """
+    from pyspark.sql.window import Window
+    per = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("token_count"))
+    if alpha == 0.5:
+        s = f"floor(sqrt(cast(token_count as double)) * {scale} + 0.5)"
+    else:
+        s = (f"floor(power(cast(token_count as double), "
+             f"cast({alpha!r} as double)) * {scale} + 0.5)")
+    staged = per.selectExpr(strata_col, "token_count",
+                            f"cast({s} as bigint) as s_micro")
+    total = F.sum("s_micro").over(Window.partitionBy())
+    return (staged.withColumn("_tot", total)
+            .selectExpr(
+                strata_col, "token_count",
+                "floor(s_micro / cast(_tot as double) * 1e6 + 0.5) / 1e6"
+                " as weight",
+                f"({total_budget} * s_micro) div _tot as alloc_tokens"))
+
+
+def duckdb_temperature_mix_sql(table: str, total_budget: int,
+                               token_expr: str = "word_count",
+                               strata_col: str = "lang",
+                               scale: int = 1_000_000) -> str:
+    """Engine twin of :func:`temperature_mix_allocation` (alpha=0.5 only —
+    the sqrt path is the exactly-rounded one)."""
+    return f"""
+        with per as (
+            select {strata_col}, sum(({token_expr})::bigint)::bigint
+                       as token_count
+            from {table} group by {strata_col}
+        ), staged as (
+            select {strata_col}, token_count,
+                   floor(sqrt(token_count::double) * {scale} + 0.5)::bigint
+                       as s_micro
+            from per
+        ), tot as (
+            select sum(s_micro)::bigint as t from staged
+        )
+        select {strata_col}, token_count,
+               floor(s_micro / (t::double) * 1e6 + 0.5) / 1e6 as weight,
+               ({total_budget} * s_micro) // t as alloc_tokens
+        from staged cross join tot
+    """

@@ -44,7 +44,9 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                tokenizer: str = "words",
                bpe_merges: int = 16,
                bpe_vocab: str | None = None,
-               bpe_vocab_out: str | None = None) -> dict:
+               bpe_vocab_out: str | None = None,
+               total_token_budget: int | None = None,
+               temperature: float = 0.5) -> dict:
     """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary.
 
     Two mixture modes: ``rates`` (per-lang doc-rate hash sampling, the
@@ -55,7 +57,14 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
     census) or ``'bpe'`` (train a deterministic BPE vocab on the clean
     corpus — functions/bpe.py — and budget by trained-vocab token counts,
     the unit a real training mix is specified in; counting stays a
-    shuffle-free per-row replace chain)."""
+    shuffle-free per-row replace chain).
+
+    ``total_token_budget`` derives the per-lang budgets instead of taking
+    them literally: temperature-weighted allocation
+    (curation.temperature_mix_allocation, default alpha=0.5 up-samples
+    low-resource languages) over the chosen tokenizer's counts; the
+    n_langs-row allocation is collected (bounded) and fed to the same
+    token sampler. Explicit ``token_budgets`` wins if both are given."""
     from pyspark.sql import functions as F
 
     from data_quality_autohealer_spark.functions import text_heuristics as th
@@ -65,7 +74,7 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
     )
     from data_quality_autohealer_spark.sources.tables import write_jsonl
 
-    if token_budgets:
+    if token_budgets or total_token_budget:
         if tokenizer == "bpe":
             from data_quality_autohealer_spark.functions import bpe
             # train once, tokenize everywhere: a persisted vocab
@@ -87,6 +96,21 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
         else:
             raise ValueError(f"tokenizer must be 'words' or 'bpe', "
                              f"got {tokenizer!r}")
+        allocation = None
+        if not token_budgets:
+            from data_quality_autohealer_spark.operators.curation import (
+                temperature_mix_allocation,
+            )
+            alloc_rows = temperature_mix_allocation(
+                counted, total_token_budget, alpha=temperature,
+                token_col="word_count", strata_col="lang").collect()
+            token_budgets = {r["lang"]: int(r["alloc_tokens"])
+                             for r in alloc_rows}
+            allocation = {r["lang"]: {"tokens_in": r["token_count"],
+                                      "weight": r["weight"],
+                                      "budget": int(r["alloc_tokens"])}
+                          for r in sorted(alloc_rows,
+                                          key=lambda r: r["lang"])}
         sampled = token_budget_sample(
             counted,
             token_budgets, token_col="word_count", strata_col="lang",
@@ -103,7 +127,7 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                       F.max("cum_tokens").alias("tokens_out"))
                  .collect())
         n_in = clean.count()
-        return {
+        out = {
             "out": out_dir,
             "shards": shards,
             "docs_in": n_in,
@@ -112,6 +136,9 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                                     "tokens": r["tokens_out"]}
                         for r in sorted(stats, key=lambda r: r["lang"])},
         }
+        if allocation is not None:
+            out["allocation"] = allocation
+        return out
 
     sampled = stratified_sample(clean, rates, strata_col="lang",
                                 id_col="url", default_rate=default_rate,
@@ -164,6 +191,12 @@ def main(argv: list[str] | None = None) -> dict:
                         " to tokenize with instead of retraining")
     p.add_argument("--bpe-vocab-out", default=None,
                    help="persist the (trained or loaded) merge table here")
+    p.add_argument("--total-token-budget", type=int, default=None,
+                   help="derive per-lang budgets from ONE total via "
+                        "temperature-weighted allocation (alpha = "
+                        "--temperature) instead of listing them; "
+                        "--token-budgets wins if both are given")
+    p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--salt", default="mix")
     p.add_argument("--master", default=None)
@@ -185,7 +218,9 @@ def main(argv: list[str] | None = None) -> dict:
                       tokenizer=args.tokenizer,
                       bpe_merges=args.bpe_merges,
                       bpe_vocab=args.bpe_vocab,
-                      bpe_vocab_out=args.bpe_vocab_out)
+                      bpe_vocab_out=args.bpe_vocab_out,
+                      total_token_budget=args.total_token_budget,
+                      temperature=args.temperature)
 
 
 if __name__ == "__main__":

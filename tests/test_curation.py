@@ -187,3 +187,31 @@ def test_blocklist_join_is_broadcast(spark):
     with redirect_stdout(buf):
         curation.apply_domain_blocklist(docs, bl).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_temperature_mix_allocation_values_and_parity(spark):
+    import duckdb
+    import pandas as pd
+    rows = [(i, "en" if i < 90 else "de", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, word_count int")
+    out = {r["lang"]: r.asDict() for r in
+           curation.temperature_mix_allocation(df, 1000).collect()}
+    # exact: sqrt(9000)=94.868..., sqrt(1000)=31.622...; integer alloc
+    import math
+    s_en = math.floor(math.sqrt(9000) * 1e6 + 0.5)
+    s_de = math.floor(math.sqrt(1000) * 1e6 + 0.5)
+    tot = s_en + s_de
+    assert out["en"]["alloc_tokens"] == (1000 * s_en) // tot
+    assert out["de"]["alloc_tokens"] == (1000 * s_de) // tot
+    assert out["de"]["alloc_tokens"] + out["en"]["alloc_tokens"] <= 1000
+    # low-resource de is up-sampled vs its 10% token share
+    assert out["de"]["weight"] > 0.1
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "lang",
+                                                  "word_count"]))
+    want = con.execute(curation.duckdb_temperature_mix_sql("t", 1000)) \
+        .fetchdf().sort_values("lang").reset_index(drop=True)
+    got = (curation.temperature_mix_allocation(df, 1000).toPandas()
+           .sort_values("lang").reset_index(drop=True))
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=True)

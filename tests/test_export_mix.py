@@ -126,3 +126,32 @@ def test_export_token_budget_bpe_tokenizer(spark, tmp_path):
     u2 = {r["url"] for r in
           spark.read.json(str(tmp_path / "bm2")).select("url").collect()}
     assert u1 == u2
+
+
+def test_export_total_budget_temperature_mode(spark, tmp_path):
+    """--total-token-budget derives per-lang budgets by sqrt-temperature
+    allocation; sampler then honors those budgets exactly."""
+    wh_dir = _clean_warehouse(spark, tmp_path)
+    out = str(tmp_path / "mix_temp")
+    s = ex.main(["--warehouse", wh_dir, "--out", out,
+                 "--total-token-budget", "20000", "--shards", "4"])
+    alloc = s["allocation"]
+    assert set(alloc) == set(s["by_lang"])
+    assert sum(a["budget"] for a in alloc.values()) <= 20000
+    # sqrt temperature: every stratum's budget share exceeds its
+    # (sub-linear) token share iff it is low-resource
+    tot_in = sum(a["tokens_in"] for a in alloc.values())
+    tot_b = sum(a["budget"] for a in alloc.values())
+    small = min(alloc.values(), key=lambda a: a["tokens_in"])
+    big = max(alloc.values(), key=lambda a: a["tokens_in"])
+    assert small["budget"] / tot_b > small["tokens_in"] / tot_in
+    assert big["budget"] / tot_b < big["tokens_in"] / tot_in
+    # sampler honors the derived budgets
+    for lang, c in s["by_lang"].items():
+        assert c["tokens"] <= alloc[lang]["budget"]
+    # explicit budgets win over the derived ones
+    s2 = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "m2"),
+                  "--total-token-budget", "20000",
+                  "--token-budgets", "en=500", "--shards", "4"])
+    assert "allocation" not in s2
+    assert s2["by_lang"]["en"]["tokens"] <= 500
