@@ -84,6 +84,11 @@ HEADLINE = [
     "bpe_vocab",
     "bpe_token_count",
     "quality_classifier",
+    # round-6 continuation operators
+    "gopher_repetition",
+    "dedup_keep_best",
+    "domain_blocklist",
+    "temperature_mix",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
