@@ -773,6 +773,75 @@ def _oracle_quality_classifier() -> str:
     return distill.duckdb_distill_sql(labels)
 
 
+# deterministic messy suffixes cycled by doc_id % 3: clean ASCII /
+# combining Latin + fullwidth / ring+BEL control+Hangul jamo — so
+# `changed` varies and the NFC + control-strip path is exercised for real
+_MESSY_SFX = ["", " café naïve ｆw",
+              " Ångström\x07 가"]
+
+
+def _messy_text(engine: str) -> str:
+    arr = ", ".join("'" + s + "'" for s in _MESSY_SFX)
+    if engine == "spark":
+        sfx = f"element_at(array({arr}), cast(doc_id % 3 as int) + 1)"
+        # concat propagates NULL in Spark, matching DuckDB's || (DuckDB
+        # concat() would IGNORE nulls — divergent)
+        return f"concat(text, {sfx})"
+    sfx = f"[{arr}][(doc_id % 3)::int + 1]"
+    return f"(text || {sfx})"
+
+
+def _q_unicode_clean(spark, sf_dir):
+    """Unicode hygiene (round 6): NFC normalization (pandas UDF — Spark
+    has no native NFC; ONE Arrow crossing) + C0 control strip (native,
+    engine-paired) over deterministically-dirtied text. The oracle twin
+    is DuckDB's utf8proc nfc_normalize — the two Unicode implementations
+    are verified char-identical; the first pandas-UDF query with a full
+    hash oracle."""
+    from data_quality_autohealer_spark.functions import unicode_clean as uc
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_messy_text('spark')} as _t")
+    out = uc.with_unicode_clean(docs, "_t", "text_clean")
+    return out.selectExpr(
+        "doc_id", "text_clean",
+        "coalesce(text_clean != _t, false) as changed")
+
+
+def _oracle_unicode_clean() -> str:
+    from data_quality_autohealer_spark.functions import unicode_clean as uc
+    expr = uc.duckdb_unicode_clean_sql("_t")
+    return f"""
+        with b as (select doc_id, {_messy_text('duck')} as _t
+                   from documents)
+        select doc_id, {expr} as text_clean,
+               coalesce({expr} != _t, false) as changed
+        from b
+    """
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language quality buckets (round 6): ntile(3)
+    head/middle/tail WITHIN each language over the distilled-classifier
+    integer score (Wenzek et al. 2020 bucket per-language; integer
+    scores make the tie-break engine-exact). The exact per-group window
+    distributes one group per reducer; the percentile_approx + broadcast
+    cut-table scale twin is suite-tested."""
+    from data_quality_autohealer_spark.operators import distill
+    docs = _docs(spark, sf_dir)
+    labeled = th.with_quality_signals(docs)
+    scores = distill.distill_quality_classifier(labeled).select(
+        "doc_id", "score_micro")
+    joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    return curation.grouped_quality_strata(joined, "score_micro", "lang", 3)
+
+
+def _oracle_ccnet_buckets() -> str:
+    inner = (f"select s.doc_id, d.lang, s.score_micro "
+             f"from ({_oracle_quality_classifier()}) s "
+             f"join documents d on s.doc_id = d.doc_id")
+    return curation.duckdb_grouped_strata_sql(inner, "score_micro", "lang", 3)
+
+
 def _q_temperature_mix(spark, sf_dir):
     """Temperature-weighted mixture allocation (round 6): split a 1M-token
     budget across languages by sqrt(token_count) weights (alpha=0.5 —
@@ -1673,10 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_severity_by_lang": _q_severity_by_lang,
         "bucket_skew": _q_bucket_skew,
         "langid_stopword_heuristic": _q_langid_stopword,
-        "doc_fingerprint": _q_fingerprint,
         "exact_dedup_groups": _q_exact_dedup,
         "minhash_signatures": _q_minhash,
-        "simhash": _q_simhash,
         "pii_scrub": _q_pii_scrub,
         "profile_documents": _q_profile_documents,
         "outlier_iqr_lineitem": _q_outlier_iqr,
@@ -1690,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "domain_blocklist": _q_domain_blocklist,
         "temperature_mix": _q_temperature_mix,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "unicode_clean": _q_unicode_clean,
         "bpe_encode": _q_bpe_encode,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -1746,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "doc_fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
         "distribution_shift_events": _q_dist_shift_events,
         "knn_cosine_topk": _q_knn_cosine,
         "embedding_stats_by_label": _q_embedding_stats,
@@ -2001,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _oracle_dedup_keep_best(),
         "domain_blocklist": _oracle_domain_blocklist(),
         "temperature_mix": _oracle_temperature_mix(),
+        "ccnet_buckets": _oracle_ccnet_buckets(),
+        "unicode_clean": _oracle_unicode_clean(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

@@ -402,3 +402,90 @@ def duckdb_temperature_mix_sql(table: str, total_budget: int,
                ({total_budget} * s_micro) // t as alloc_tokens
         from staged cross join tot
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-group stratification (round 6)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quality_strata(df: DataFrame, score_col: str,
+                           group_col: str = "lang", n_tiles: int = 3,
+                           id_col: str = "doc_id",
+                           exact_ntile: bool = True,
+                           labels: tuple = ("tail", "middle", "head")
+                           ) -> DataFrame:
+    """CCNet-style per-group quality buckets: ntile WITHIN each group
+    (head/middle/tail per language is the canonical web-filter split —
+    Wenzek et al. 2020 bucket by per-language LM score; any deterministic
+    score column works, the distilled classifier's integer score being
+    the oracle-exact feed).
+
+    Unlike the global ``quality_strata`` window, the exact path here
+    distributes: each reducer sorts ONE group's rows. It is still the
+    oracle twin only — a 10^12-row mega-language needs
+    ``exact_ntile=False``: per-group percentile_approx cut points (one
+    agg to groups × (n_tiles−1) doubles), BROADCAST back, then a
+    shuffle-free per-row bucket lookup feeding the same census (tile
+    counts become approximate at value ties; NULL scores land in the
+    bottom bucket on both paths).
+
+    Returns (group, stratum, bucket, n_docs, min_score, max_score);
+    ``bucket`` labels apply when ``len(labels) == n_tiles``.
+    """
+    from pyspark.sql.window import Window
+    if exact_ntile:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).asc(), F.col(id_col).asc())
+        tiled = df.withColumn("stratum", F.ntile(n_tiles).over(w))
+    else:
+        qs = [i / n_tiles for i in range(1, n_tiles)]
+        cuts = df.groupBy(group_col).agg(
+            F.percentile_approx(score_col, qs, 10_000).alias("_cuts"))
+        b = F.lit(n_tiles)
+        for i in range(n_tiles - 2, -1, -1):
+            b = F.when(F.col(score_col) <= F.expr(f"_cuts[{i}]"), i + 1) \
+                .otherwise(b)
+        b = F.when(F.col(score_col).isNull(), 1).otherwise(b)
+        tiled = (df.join(F.broadcast(cuts), group_col)
+                 .withColumn("stratum", b.cast("int")))
+    out = (tiled.groupBy(group_col, "stratum")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.min(score_col).alias("min_score"),
+                F.max(score_col).alias("max_score")))
+    lab = "cast(null as string)"
+    if labels and len(labels) == n_tiles:
+        lab = ("case stratum " + " ".join(
+            f"when {i + 1} then '{l}'" for i, l in enumerate(labels))
+            + " end")
+    return out.selectExpr(group_col, "stratum", f"{lab} as bucket",
+                          "n_docs", "min_score", "max_score") \
+        .orderBy(group_col, "stratum")
+
+
+def duckdb_grouped_strata_sql(table_sql: str, score_col: str,
+                              group_col: str = "lang", n_tiles: int = 3,
+                              id_col: str = "doc_id",
+                              labels: tuple = ("tail", "middle", "head")
+                              ) -> str:
+    """Engine twin of :func:`grouped_quality_strata` (exact path).
+    ``table_sql``: a full SELECT yielding (id, group, score)."""
+    lab = "cast(null as varchar)"
+    if labels and len(labels) == n_tiles:
+        lab = ("case stratum " + " ".join(
+            f"when {i + 1} then '{l}'" for i, l in enumerate(labels))
+            + " end")
+    return f"""
+        with _gstrata as (
+            select {group_col}, {score_col},
+                   ntile({n_tiles}) over (partition by {group_col}
+                       order by {score_col} asc, {id_col} asc) as stratum
+            from ({table_sql})
+        )
+        select {group_col}, stratum, {lab} as bucket,
+               count(*)::bigint as n_docs,
+               min({score_col}) as min_score,
+               max({score_col}) as max_score
+        from _gstrata group by {group_col}, stratum
+        order by {group_col}, stratum
+    """

@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--max-bucket-size", type=int, default=1000)
     p.add_argument("--min-line-docs", type=int, default=2)
+    p.add_argument("--keep-best", action="store_true",
+                   help="neardup mode: keep the highest-quality cluster "
+                        "member (distilled-classifier score, tie min id) "
+                        "instead of the min-id representative")
     p.add_argument("--master", default=None)
     p.add_argument("--generate", type=int, default=0,
                    help="generate N synthetic pages into the warehouse first")
@@ -278,11 +282,27 @@ def main(argv: list[str] | None = None) -> dict:
         exact = exact.persist()
         cached.append(exact)
         exact.count()
-        deduped = dedup.neardup_dedup(
-            exact, text_col="text", id_col="url",
-            shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,
-            threshold=args.jaccard_threshold,
-            max_bucket_size=args.max_bucket_size)
+        kwargs = dict(text_col="text", id_col="url",
+                      shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,
+                      threshold=args.jaccard_threshold,
+                      max_bucket_size=args.max_bucket_size)
+        if args.keep_best:
+            # quality-aware survivors: per cluster keep the member with
+            # the highest distilled-classifier score instead of min-id
+            # (clusters mix a clean page with boilerplate mirrors). The
+            # classifier trains on the corpus's own heuristic keep/drop
+            # labels — deterministic, no model artifact needed.
+            from data_quality_autohealer_spark.functions import (
+                text_heuristics as th,
+            )
+            from data_quality_autohealer_spark.operators import distill
+            scores = distill.distill_quality_classifier(
+                th.with_quality_signals(exact), id_col="url",
+            ).select("url", "score_micro")
+            deduped = dedup.neardup_dedup_keep_best(
+                exact, scores, score_col="score_micro", **kwargs)
+        else:
+            deduped = dedup.neardup_dedup(exact, **kwargs)
     wh.write_pages(deduped.drop("bucket"), table=args.out_table)
     try:
         n_out = wh.read_pages(args.out_table).count()

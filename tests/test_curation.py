@@ -215,3 +215,48 @@ def test_temperature_mix_allocation_values_and_parity(spark):
            .sort_values("lang").reset_index(drop=True))
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=True)
+
+
+def test_grouped_strata_exact_and_approx(spark):
+    import duckdb
+    import pandas as pd
+    rows = [(i, "en" if i < 60 else "de", i % 97) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score int")
+    exact = curation.grouped_quality_strata(df, "score", "lang", 3)
+    got = exact.toPandas()
+    # per-group ntile: tiles within each lang are equal +/-1
+    for lang, grp in got.groupby("lang"):
+        counts = grp["n_docs"].tolist()
+        assert max(counts) - min(counts) <= 1
+        assert sorted(grp["bucket"]) == ["head", "middle", "tail"]
+    assert got["n_docs"].sum() == 90
+    # score ranges are ordered within each lang
+    for lang, grp in got.sort_values("stratum").groupby("lang"):
+        ms = grp["min_score"].tolist()
+        assert ms == sorted(ms)
+    # DuckDB twin parity
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "lang", "score"]))
+    want = con.execute(curation.duckdb_grouped_strata_sql(
+        "select doc_id, lang, score from t", "score", "lang", 3)).fetchdf()
+    cols = sorted(got.columns)
+    key = ["lang", "stratum"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[cols],
+        want.sort_values(key).reset_index(drop=True)[cols],
+        check_dtype=False)
+    # approx path: same total census, per-group buckets, broadcast cuts
+    approx = curation.grouped_quality_strata(
+        df, "score", "lang", 3, exact_ntile=False).toPandas()
+    assert approx["n_docs"].sum() == 90
+    assert set(approx["lang"]) == {"en", "de"}
+    # NULL scores land in the bottom bucket on both paths
+    df_null = spark.createDataFrame(
+        [(i, "en", None if i < 5 else i) for i in range(30)],
+        "doc_id long, lang string, score int")
+    for exact_flag in (True, False):
+        strata = {r["stratum"]: r["n_docs"]
+                  for r in curation.grouped_quality_strata(
+                      df_null, "score", "lang", 3,
+                      exact_ntile=exact_flag).collect()}
+        assert strata[1] >= 5

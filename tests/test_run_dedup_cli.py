@@ -323,3 +323,47 @@ def test_novelty_mode_drops_template_docs(spark, tmp_path):
     assert kept == {"http://u1/", "http://u2/", "http://e1/", "http://e2/",
                     "http://e3/"}
     assert out["docs_in"] == 7 and out["docs_out"] == 5
+
+
+def test_neardup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
+    """--keep-best: the near-dup cluster survivor is the highest
+    distilled-classifier-score member, not the min-id one; everything
+    else (unclustered docs, null text) passes through identically."""
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    good = ("the migration guide explains how the streaming planner "
+            "assigns watermarks and how state stores compact over time "
+            "with clear worked examples for every operator")
+    junk = " $$$ ### @@@ %%% ^^^ &&& *** !!! ??? ;;; ||| ~~~"
+    rows = [
+        # cluster: a0 (min id) is the junk-laden mirror, z9 the clean page
+        ("http://a0/", good + junk),
+        ("http://z9/", good),
+        # background corpus: clean prose + symbol-soup so the heuristic
+        # labels are mixed and the distilled weights discriminate
+        ("http://b1/", "spark partitions parquet files into splittable "
+                       "row groups so executors scan column chunks in "
+                       "parallel with predicate pushdown enabled"),
+        ("http://b2/", "the optimizer folds constants prunes columns and "
+                       "reorders joins before whole stage codegen emits "
+                       "fused operators for the selected physical plan"),
+        ("http://b3/", "watermark eviction bounds the state store while "
+                       "late events within the threshold still merge "
+                       "into their original aggregation windows"),
+        ("http://x1/", "$$$ ### @@@ %%% " * 6),
+        ("http://x2/", "!!! ??? ;;; ||| " * 6),
+        ("http://n1/", None),
+    ]
+    for flag, expect_survivor in ((["--keep-best"], "http://z9/"),
+                                  ([], "http://a0/")):
+        wh_dir = str(tmp_path / f"wh{'kb' if flag else 'min'}")
+        wh = Warehouse(spark, wh_dir)
+        wh.write_pages(_pages(spark, rows))
+        out = run_dedup.main(["--warehouse", wh_dir, "--mode", "neardup",
+                              "--jaccard-threshold", "0.4", *flag])
+        kept = {r["url"] for r in
+                wh.read_pages("pages_deduped").select("url").collect()}
+        other = "http://a0/" if expect_survivor == "http://z9/" \
+            else "http://z9/"
+        assert expect_survivor in kept and other not in kept, (flag, kept)
+        assert "http://n1/" in kept            # null text passes through
+        assert out["docs_in"] == 8
