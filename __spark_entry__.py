@@ -819,6 +819,21 @@ def _oracle_unicode_clean() -> str:
     """
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs (round 6): 4 bands x 4 bits over the
+    16-bit fingerprint — pigeonhole guarantees Hamming<=3 pairs share a
+    band, so candidates are an equi-join, never a cross product; window
+    cap on the join key kills degenerate buckets. Pure integer
+    arithmetic; Hamming radius 2 keeps the pair set tight (the
+    complement of the Jaccard-threshold MinHash chain)."""
+    return dedup.simhash_neardup_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"), max_hamming=2)
+
+
+def _oracle_simhash_pairs() -> str:
+    return dedup.duckdb_simhash_pairs_sql("documents", max_hamming=2)
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet-style per-language quality buckets (round 6): ntile(3)
     head/middle/tail WITHIN each language over the distilled-classifier
@@ -1743,7 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_skew": _q_bucket_skew,
         "langid_stopword_heuristic": _q_langid_stopword,
         "exact_dedup_groups": _q_exact_dedup,
-        "minhash_signatures": _q_minhash,
         "pii_scrub": _q_pii_scrub,
         "profile_documents": _q_profile_documents,
         "outlier_iqr_lineitem": _q_outlier_iqr,
@@ -1759,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "ccnet_buckets": _q_ccnet_buckets,
         "unicode_clean": _q_unicode_clean,
+        "simhash_neardup_pairs": _q_simhash_pairs,
         "bpe_encode": _q_bpe_encode,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -1815,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "minhash_signatures": _q_minhash,
         "doc_fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "distribution_shift_events": _q_dist_shift_events,
@@ -2074,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _oracle_temperature_mix(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
         "unicode_clean": _oracle_unicode_clean(),
+        "simhash_neardup_pairs": _oracle_simhash_pairs(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

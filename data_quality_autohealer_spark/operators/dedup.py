@@ -1316,3 +1316,92 @@ def duckdb_keep_best_sql(groups_sql: str, scores_sql: str,
             join ({scores_sql}) s using ({id_col})
         ) where rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs (round 6)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4   # 16 bits / 4 bands: hamming <= 3 ALWAYS shares a band
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", max_hamming: int = 3,
+                          max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                          ) -> DataFrame:
+    """Complete the SimHash chain: banded candidate generation + Hamming
+    verify — the Manku/Google near-dup construction, and the cheap
+    complement to MinHash-LSH (one 16-bit int per doc vs k signatures;
+    Hamming radius vs Jaccard threshold).
+
+    Pigeonhole guarantee: 16 bits split into 4 bands means any pair
+    within Hamming distance 3 agrees exactly on >= 1 band — candidates
+    are an EQUI-join on (band_idx, band_val), never a cross product;
+    ``max_bucket_size`` caps degenerate buckets via a window count over
+    the join key (the exchange is reused), exactly like the MinHash path.
+    Everything is integer arithmetic (shifts, xor, bit_count) — engine-
+    exact by construction. NOTE for the DuckDB twin: ``^`` is POWER in
+    DuckDB; the twin emits ``xor()``.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, each pair once.
+    """
+    from pyspark.sql.window import Window
+    bp = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bp) - 1
+    fp = simhash(df, text_col, id_col)
+    stack_args = ", ".join(
+        f"{i}, shiftright(simhash, {i * bp}) & {mask}"
+        for i in range(SIMHASH_BANDS))
+    stacked = fp.selectExpr(
+        id_col, "simhash",
+        f"stack({SIMHASH_BANDS}, {stack_args}) as (band_idx, band_val)")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        stacked = (stacked
+                   .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                   .where(F.col("_bsz") <= max_bucket_size)
+                   .drop("_bsz"))
+    a = stacked.selectExpr("band_idx", "band_val",
+                           f"{id_col} as id_a", "simhash as sh_a")
+    b = stacked.selectExpr("band_idx", "band_val",
+                           f"{id_col} as id_b", "simhash as sh_b")
+    return (a.join(b, ["band_idx", "band_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.expr("cast(bit_count(sh_a ^ sh_b) as int)")
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+def duckdb_simhash_pairs_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id", max_hamming: int = 3,
+                             max_bucket_size: int = DEFAULT_MAX_BUCKET
+                             ) -> str:
+    """Engine twin of :func:`simhash_neardup_pairs` (same fingerprints,
+    same bands, same cap; xor() because ^ is power in DuckDB)."""
+    bp = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bp) - 1
+    bands = ", ".join(str(i) for i in range(SIMHASH_BANDS))
+    return f"""
+        with fp as ({duckdb_simhash_sql(table, text_col, id_col)}),
+        stacked as (
+            select {id_col}, simhash, band_idx,
+                   (simhash >> (band_idx * {bp})) & {mask} as band_val
+            from fp cross join (select unnest([{bands}]) as band_idx)
+        ), capped as (
+            select * from (
+                select {id_col}, simhash, band_idx, band_val,
+                       count(*) over (partition by band_idx, band_val)
+                           as _bsz
+                from stacked
+            ) where _bsz <= {max_bucket_size}
+        )
+        select distinct a.{id_col} as id_a, b.{id_col} as id_b,
+               bit_count(xor(a.simhash, b.simhash))::int as hamming
+        from capped a join capped b
+          on a.band_idx = b.band_idx and a.band_val = b.band_val
+         and a.{id_col} < b.{id_col}
+        where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -65,3 +65,46 @@ def test_duckdb_parity(spark):
         .sort_values("rep_id").reset_index(drop=True)
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded pairs (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_pigeonhole_and_parity(spark):
+    """Near-identical docs land within Hamming radius and are emitted
+    exactly once; a genuinely different doc pairs with nobody; Spark and
+    DuckDB emit the identical pair set."""
+    base = ("spark executes declarative plans through catalyst and "
+            "tungsten with whole stage code generation for speed")
+    rows = [
+        (1, base),
+        (2, base + " extra"),             # near-identical -> tiny hamming
+        (3, "completely unrelated knitting patterns involve wool gauge "
+            "swatches and circular needles for seamless sweaters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_neardup_pairs(df, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(k == (1, 2) for k in got)
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("docs_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("create table documents as select * from docs_in")
+    want = {(r[0], r[1]): r[2] for r in con.execute(
+        dedup.duckdb_simhash_pairs_sql(max_hamming=3)).fetchall()}
+    assert got == want
+
+
+def test_simhash_pairs_bucket_cap_drops_megabucket(spark):
+    # 30 identical docs share every band; cap below the bucket size
+    # removes the degenerate bucket entirely (the LSH discipline)
+    rows = [(i, "same words everywhere " * 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.simhash_neardup_pairs(
+        df, max_bucket_size=10).count() == 0
+    assert dedup.simhash_neardup_pairs(
+        df, max_bucket_size=None).count() == 30 * 29 // 2
