@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_keep_best",
     "domain_blocklist",
     "temperature_mix",
+    "ccnet_buckets",
+    "unicode_clean",
+    "simhash_neardup_pairs",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
