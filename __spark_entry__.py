@@ -834,6 +834,59 @@ def _oracle_simhash_pairs() -> str:
     return dedup.duckdb_simhash_pairs_sql("documents", max_hamming=2)
 
 
+# deterministic multi-line page structure for the C4 rules (the testdata
+# corpus is single-line word soup): two prose segments with terminal
+# punctuation, a nav line with none, a variant line cycling through
+# punct / bang / unterminated / javascript, plus lorem-ipsum and brace
+# lines on doc_id strides — every rule fires on a known subset.
+_C4_VARIANTS = [".", "!", "", " with javascript."]
+
+
+def _lined_text(engine: str) -> str:
+    arr = ", ".join("'" + s + "'" for s in _C4_VARIANTS)
+    if engine == "spark":
+        var = f"element_at(array({arr}), cast(doc_id % 4 as int) + 1)"
+        return (
+            "concat_ws(chr(10), "
+            "concat(substring(_t0, 1, 64), ' end of part one.'), "
+            "'click here to accept cookies', "
+            f"concat(substring(_t0, 65, 80), {var}), "
+            "case when doc_id % 13 = 0 then 'lorem ipsum dolor sit amet.' "
+            "end, "
+            "case when doc_id % 17 = 0 then 'var cfg = { a: 1 };' end, "
+            "concat(substring(_t0, 145, 96), ' is that so?'))")
+    var = f"[{arr}][(doc_id % 4)::int + 1]"
+    return (
+        "concat_ws(chr(10), "
+        "substr(_t0, 1, 64) || ' end of part one.', "
+        "'click here to accept cookies', "
+        f"substr(_t0, 65, 80) || {var}, "
+        "case when doc_id % 13 = 0 then 'lorem ipsum dolor sit amet.' end, "
+        "case when doc_id % 17 = 0 then 'var cfg = { a: 1 };' end, "
+        "substr(_t0, 145, 96) || ' is that so?')")
+
+
+def _q_c4_line_filter(spark, sf_dir):
+    """C4 rule-based line + page cleaning (functions/c4.py — Raffel et
+    al. 2020 §2.2, the public C4 recipe): terminal-punctuation lines with
+    >=5 words and no 'javascript' survive; pages with 'lorem ipsum', a
+    curly brace, or <3 surviving lines are flagged (never deleted). A
+    pure per-document projection — zero exchanges at any scale. Runs over
+    deterministically re-lined text (the corpus is single-line)."""
+    from data_quality_autohealer_spark.functions import c4
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "coalesce(text, '') as _t0")
+    lined = docs.selectExpr("doc_id", f"{_lined_text('spark')} as _lt")
+    return c4.c4_clean(lined, text_col="_lt")
+
+
+def _oracle_c4_line_filter() -> str:
+    from data_quality_autohealer_spark.functions import c4
+    inner = (f"(select doc_id, {_lined_text('duck')} as _lt from "
+             f"(select doc_id, coalesce(text, '') as _t0 from documents))")
+    return c4.duckdb_c4_sql(inner, text_col="_lt")
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet-style per-language quality buckets (round 6): ntile(3)
     head/middle/tail WITHIN each language over the distilled-classifier
@@ -1774,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "unicode_clean": _q_unicode_clean,
         "simhash_neardup_pairs": _q_simhash_pairs,
+        "c4_line_filter": _q_c4_line_filter,
         "bpe_encode": _q_bpe_encode,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -2091,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _oracle_ccnet_buckets(),
         "unicode_clean": _oracle_unicode_clean(),
         "simhash_neardup_pairs": _oracle_simhash_pairs(),
+        "c4_line_filter": _oracle_c4_line_filter(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

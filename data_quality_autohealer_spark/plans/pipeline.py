@@ -38,15 +38,18 @@ def score_pages(
     gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
     model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
     include_model_rules: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """DataFrame → DataFrame scorer (pure function; identical code path for
     batch and Structured Streaming).
 
     Deliberately selects only the needed columns first so Parquet/Iceberg
-    column pruning drops ``html`` at the scan.
+    column pruning drops ``html`` at the scan. ``extra_cols`` ride through
+    untouched (e.g. the C4 page flag the caller merges into the decision).
     """
     cols = [c for c in ["url", "warc_ts", "text", "lang", "bucket"]
-            if c in pages.columns]
+            if c in pages.columns] + [c for c in extra_cols
+                                      if c in pages.columns]
     df = pages.select(*cols)
     if include_model_rules:
         # ALL per-doc text signals ride in the one scoring UDF crossing
@@ -59,7 +62,8 @@ def score_pages(
     df = dec.with_decision(df, gopher, model,
                            include_model_rules=include_model_rules)
     keep_cols = [c for c in SCORED_COLUMNS if c in df.columns]
-    return df.select("text", *keep_cols)
+    passthrough = [c for c in extra_cols if c in df.columns]
+    return df.select("text", *keep_cols, *passthrough)
 
 
 def bucket_metrics(scored: DataFrame, run_id: str) -> DataFrame:
@@ -134,6 +138,7 @@ def run_filter(
     model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
     storage_level: str = "MEMORY_AND_DISK",
     bucket_subset: list[int] | None = None,
+    c4: bool = False,
 ) -> dict:
     """Full run with resume. Returns summary counters.
 
@@ -143,6 +148,10 @@ def run_filter(
     ``bucket_subset``: restrict this invocation to the given buckets (the
     wave unit used by :func:`run_filter_in_waves`); partition pruning makes
     the restriction a scan-level filter.
+    ``c4``: apply the C4 line rules (functions/c4.py) BEFORE scoring —
+    signals and scrubbing run over the line-cleaned text — and merge the
+    page flag into the decision as reason code ``c4.page``. Both steps are
+    pure projections; the plan gains zero exchanges.
     """
     from pyspark import StorageLevel
 
@@ -150,7 +159,26 @@ def run_filter(
     if bucket_subset is not None:
         pages = pages.where(F.col("bucket").isin(list(bucket_subset)))
     todo = wh.resume_filter(pages, run_id)
-    scored = score_pages(todo, gopher, model)
+    extra: tuple[str, ...] = ()
+    if c4:
+        from ..functions import c4 as c4f
+
+        todo = (c4f.with_c4(todo, "text")
+                .withColumn("text", F.col("c4_text_clean"))
+                .withColumnRenamed("c4_page_keep", "_c4_keep")
+                .drop("c4_text_clean", "c4_n_lines", "c4_n_lines_kept",
+                      "c4_drop_reason"))
+        extra = ("_c4_keep",)
+    scored = score_pages(todo, gopher, model, extra_cols=extra)
+    if c4:
+        scored = (scored.withColumn(
+            "reasons",
+            F.when(~F.col("_c4_keep"),
+                   F.array_sort(F.array_union(
+                       "reasons", F.array(F.lit("c4.page")))))
+            .otherwise(F.col("reasons")))
+            .withColumn("keep", F.col("keep") & F.col("_c4_keep"))
+            .drop("_c4_keep"))
     # prune columns NEITHER sink reads before materializing the cache —
     # the confidences map in particular is per-doc strings+doubles that
     # would be computed and cached for nothing (clean write needs
@@ -247,6 +275,7 @@ def run_filter_in_waves(
     gopher: th.GopherThresholds = th.DEFAULT_THRESHOLDS,
     model: dec.ModelThresholds = dec.DEFAULT_MODEL_THRESHOLDS,
     storage_level: str = "MEMORY_AND_DISK",
+    c4: bool = False,
 ) -> dict:
     """Run the filter in bucket WAVES, checkpointing metrics after each —
     this is what makes the kill/resume contract bucket-granular in practice:
@@ -266,7 +295,7 @@ def run_filter_in_waves(
         wave_pages_table = pages_table  # resume_filter inside re-checks
         summary = run_filter(
             wh, run_id, wave_pages_table, clean_table, gopher, model,
-            storage_level, bucket_subset=chunk)
+            storage_level, bucket_subset=chunk, c4=c4)
         total["docs_in"] += summary["docs_in"]
         total["docs_kept"] += summary["docs_kept"]
         total["alerts"] += summary["alerts"]

@@ -42,6 +42,9 @@ def main() -> None:
     p.add_argument("--wave-buckets", type=int, default=0,
                    help="process buckets in waves of N, checkpointing "
                         "metrics after each (kill loses at most one wave)")
+    p.add_argument("--c4-clean", action="store_true",
+                   help="apply the C4 line rules before scoring and merge "
+                        "the page flag into the decision (reason c4.page)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -63,10 +66,10 @@ def main() -> None:
     if args.wave_buckets:
         summary = run_filter_in_waves(
             wh, args.run_id, args.wave_buckets, args.pages_table,
-            args.clean_table)
+            args.clean_table, c4=args.c4_clean)
     else:
         summary = run_filter(wh, args.run_id, args.pages_table,
-                             args.clean_table)
+                             args.clean_table, c4=args.c4_clean)
     if args.validate:
         summary["validation"] = validate_run(wh, args.run_id, args.clean_table)
     summary["sec"] = round(time.perf_counter() - t0, 2)
