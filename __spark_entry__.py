@@ -866,6 +866,25 @@ def _lined_text(engine: str) -> str:
         "substr(_t0, 145, 96) || ' is that so?')")
 
 
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weighting (operators/importance.py — Xie et
+    al. 2023): hashed unigram+bigram distribution match of every doc
+    against the in-corpus target slice (lang='en' here; a real pipeline
+    points the predicate at Wikipedia/books). Normalized polarity
+    cross-products in bigint + one IEEE division + HALF_UP micro-int keep
+    the weights engine-exact with no libm ln(); weight table broadcast,
+    one shuffle for the per-doc integer sum."""
+    from data_quality_autohealer_spark.operators import importance
+    return importance.dsir_scores(_docs(spark, sf_dir),
+                                  target_pred="lang = 'en'")
+
+
+def _oracle_dsir_importance() -> str:
+    from data_quality_autohealer_spark.operators import importance
+    return importance.duckdb_dsir_sql("documents",
+                                      target_pred="lang = 'en'")
+
+
 def _q_c4_line_filter(spark, sf_dir):
     """C4 rule-based line + page cleaning (functions/c4.py — Raffel et
     al. 2020 §2.2, the public C4 recipe): terminal-punctuation lines with
@@ -1828,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_clean": _q_unicode_clean,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "c4_line_filter": _q_c4_line_filter,
+        "dsir_importance": _q_dsir_importance,
         "bpe_encode": _q_bpe_encode,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -2146,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_clean": _oracle_unicode_clean(),
         "simhash_neardup_pairs": _oracle_simhash_pairs(),
         "c4_line_filter": _oracle_c4_line_filter(),
+        "dsir_importance": _oracle_dsir_importance(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

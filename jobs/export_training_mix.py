@@ -46,7 +46,8 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                bpe_vocab: str | None = None,
                bpe_vocab_out: str | None = None,
                total_token_budget: int | None = None,
-               temperature: float = 0.5) -> dict:
+               temperature: float = 0.5,
+               dsir_target: str | None = None) -> dict:
     """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary.
 
     Two mixture modes: ``rates`` (per-lang doc-rate hash sampling, the
@@ -73,6 +74,23 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
         token_budget_sample,
     )
     from data_quality_autohealer_spark.sources.tables import write_jsonl
+
+    dsir_summary = None
+    if dsir_target:
+        # DSIR gate (operators/importance.py): learn hashed-ngram
+        # importance weights against the target slice of THIS corpus and
+        # keep only target-like docs before any budgeting. One broadcast
+        # scoring join + one url equi-join; weights are n_buckets rows.
+        from data_quality_autohealer_spark.operators.importance import (
+            dsir_scores,
+        )
+        pre = clean.count()
+        kept_ids = (dsir_scores(clean, dsir_target, id_col="url")
+                    .where("selected").select("url"))
+        clean = clean.join(kept_ids, "url")
+        post = clean.count()
+        dsir_summary = {"target": dsir_target, "docs_in": pre,
+                        "docs_selected": post}
 
     if token_budgets or total_token_budget:
         if tokenizer == "bpe":
@@ -138,6 +156,8 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
         }
         if allocation is not None:
             out["allocation"] = allocation
+        if dsir_summary is not None:
+            out["dsir"] = dsir_summary
         return out
 
     sampled = stratified_sample(clean, rates, strata_col="lang",
@@ -156,7 +176,7 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
               .agg(F.count("*").alias("n_in"),
                    F.sum(F.expr(pred).cast("long")).alias("n_out"))
               .collect())
-    return {
+    out = {
         "out": out_dir,
         "shards": shards,
         "docs_in": sum(r["n_in"] for r in counts),
@@ -164,6 +184,9 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
         "by_lang": {r["lang"]: {"in": r["n_in"], "out": r["n_out"]}
                     for r in sorted(counts, key=lambda r: r["lang"])},
     }
+    if dsir_summary is not None:
+        out["dsir"] = dsir_summary
+    return out
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -197,6 +220,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "--temperature) instead of listing them; "
                         "--token-budgets wins if both are given")
     p.add_argument("--temperature", type=float, default=0.5)
+    p.add_argument("--dsir-target", default=None,
+                   help="SQL predicate over the clean table naming the "
+                        "TARGET slice (e.g. \"lang = 'en'\"); learns "
+                        "DSIR importance weights against it and exports "
+                        "only target-like docs")
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--salt", default="mix")
     p.add_argument("--master", default=None)
@@ -220,7 +248,8 @@ def main(argv: list[str] | None = None) -> dict:
                       bpe_vocab=args.bpe_vocab,
                       bpe_vocab_out=args.bpe_vocab_out,
                       total_token_budget=args.total_token_budget,
-                      temperature=args.temperature)
+                      temperature=args.temperature,
+                      dsir_target=args.dsir_target)
 
 
 if __name__ == "__main__":

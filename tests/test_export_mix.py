@@ -155,3 +155,23 @@ def test_export_total_budget_temperature_mode(spark, tmp_path):
                   "--token-budgets", "en=500", "--shards", "4"])
     assert "allocation" not in s2
     assert s2["by_lang"]["en"]["tokens"] <= 500
+
+
+def test_export_dsir_gate(spark, tmp_path):
+    wh_dir = _clean_warehouse(spark, tmp_path)
+    out = str(tmp_path / "dsir")
+    s = ex.main(["--warehouse", wh_dir, "--out", out,
+                 "--dsir-target", "lang = 'en'", "--shards", "4"])
+    assert s["dsir"]["target"] == "lang = 'en'"
+    assert 0 < s["dsir"]["docs_selected"] < s["dsir"]["docs_in"]
+    # the gate runs BEFORE sampling: docs_in of the mix is the selected set
+    assert s["docs_in"] == s["dsir"]["docs_selected"]
+    back = spark.read.json(out)
+    assert back.count() == s["docs_out"]
+    # target-likeness: the en share of the export beats the en share of
+    # the clean corpus (hashed-ngram weights separate languages sharply)
+    langs = {r["lang"]: r["cnt"] for r in
+             back.groupBy("lang").count().withColumnRenamed(
+                 "count", "cnt").collect()}
+    en_share = langs.get("en", 0) / max(sum(langs.values()), 1)
+    assert en_share > 0.8
