@@ -866,6 +866,50 @@ def _lined_text(engine: str) -> str:
         "substr(_t0, 145, 96) || ' is that so?')")
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility by language under the corpus-trained BPE vocab
+    (tokens emitted per word — the metric multilingual tokenizer/mixture
+    decisions cut on; public: Rust et al. 2021 "How Good is Your
+    Tokenizer?"). Composes the hash-verified training + counting chains;
+    one algebraic groupBy(lang); fertility is one IEEE division of exact
+    integer sums + HALF_UP 6dp."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    merges = bpe.train_bpe_merges(docs, num_merges=_BPE_MERGES)
+    counted = bpe.with_bpe_token_counts(docs, merges)
+    counted = counted.withColumn(
+        "n_words",
+        F.expr("cast(size(regexp_extract_all(lower(coalesce(text, '')), "
+               f"'{bpe.WORD_RE}', 0)) as bigint)"))
+    return (counted.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("docs"),
+                 F.sum("n_tokens_bpe").cast("bigint").alias("tokens"),
+                 F.sum("n_words").cast("bigint").alias("words"))
+            .selectExpr(
+                "lang", "docs", "tokens", "words",
+                "floor(tokens / cast(greatest(words, 1) as double) * "
+                "cast(1000000 as double) + cast(0.5 as double)) / "
+                "cast(1000000 as double) as fertility"))
+
+
+def _oracle_bpe_fertility() -> str:
+    tc = bpe.duckdb_bpe_token_count_sql(_BPE_MERGES)
+    return f"""
+        with tc as (select * from ({tc})),
+        w as (select doc_id, lang,
+                     len(regexp_extract_all(lower(coalesce(text, '')),
+                         '{bpe.WORD_RE}'))::bigint as n_words
+              from documents)
+        select w.lang, count(*)::bigint as docs,
+               sum(tc.n_tokens_bpe)::bigint as tokens,
+               sum(w.n_words)::bigint as words,
+               floor(sum(tc.n_tokens_bpe)::double /
+                     greatest(sum(w.n_words), 1)::double *
+                     cast(1000000 as double) + cast(0.5 as double)) /
+               cast(1000000 as double) as fertility
+        from tc join w using (doc_id) group by w.lang
+    """
+
+
 def _q_dsir_importance(spark, sf_dir):
     """DSIR-style importance weighting (operators/importance.py — Xie et
     al. 2023): hashed unigram+bigram distribution match of every doc
@@ -1848,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": _q_simhash_pairs,
         "c4_line_filter": _q_c4_line_filter,
         "dsir_importance": _q_dsir_importance,
+        "bpe_fertility_by_lang": _q_bpe_fertility,
         "bpe_encode": _q_bpe_encode,
         "token_count_bpe": _q_token_count_bpe,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -2167,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": _oracle_simhash_pairs(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "dsir_importance": _oracle_dsir_importance(),
+        "bpe_fertility_by_lang": _oracle_bpe_fertility(),
         "charset_quality": _oracle_charset_quality(),
         "dup_cluster_histogram": _oracle_dup_cluster_histogram(),
         "boilerplate_by_source": _oracle_boilerplate_by_source(),

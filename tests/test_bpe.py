@@ -161,3 +161,39 @@ def test_doc_tokens_match_canonical_segmentation(corpus_df):
         want = [s for w in re.findall("[a-z]+", (t or "").lower())
                 for s in vocab[w]]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_fertility_by_lang_semantics(spark):
+    """Fertility = tokens emitted per word under the trained vocab; a
+    language with no [a-z] words contributes 0/0 -> fertility 0 (never a
+    division error)."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (0, "en", "the cat sat on the mat near the cat and the mat"),
+        (1, "en", "the cat and the mat and the cat sat down again"),
+        (2, "zh", "漢字文本 沒有 拉丁 字母"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    merges = bpe.train_bpe_merges(df, num_merges=4)
+    counted = bpe.with_bpe_token_counts(df, merges)
+    from pyspark.sql import functions as F
+    counted = counted.withColumn(
+        "n_words", F.expr(
+            "cast(size(regexp_extract_all(lower(coalesce(text, '')), "
+            f"'{bpe.WORD_RE}', 0)) as bigint)"))
+    got = {r["lang"]: r for r in
+           (counted.groupBy("lang")
+            .agg(F.sum("n_tokens_bpe").cast("bigint").alias("tokens"),
+                 F.sum("n_words").cast("bigint").alias("words"))
+            .selectExpr("lang", "tokens", "words",
+                        "floor(tokens / cast(greatest(words, 1) as double)"
+                        " * cast(1000000 as double) + cast(0.5 as double))"
+                        " / cast(1000000 as double) as fertility")
+            .collect())}
+    en = got["en"]
+    assert en["words"] == 23 and en["tokens"] >= en["words"]
+    assert en["fertility"] == pytest.approx(
+        int(en["tokens"] / en["words"] * 1e6 + 0.5) / 1e6)
+    zh = got["zh"]
+    assert zh["tokens"] == 0 and zh["words"] == 0 and zh["fertility"] == 0.0
