@@ -910,6 +910,55 @@ def _oracle_bpe_fertility() -> str:
     """
 
 
+_PARA_BOILER = "subscribe to our newsletter for updates"
+_PARA_FOOTER = "all rights reserved copyright notice"
+
+
+def _para_text(engine: str) -> str:
+    """Deterministic paragraph structure (blank-line separated): unique
+    head/tail content around a corpus-wide boilerplate paragraph, plus a
+    footer paragraph on a doc_id stride."""
+    if engine == "spark":
+        return (
+            "concat_ws(concat(chr(10), chr(10)), "
+            "substring(_t0, 1, 150), "
+            f"'{_PARA_BOILER}', "
+            "substring(_t0, 151, 4000), "
+            f"case when doc_id % 5 = 0 then '{_PARA_FOOTER}' end)")
+    return (
+        "concat_ws(chr(10) || chr(10), "
+        "substr(_t0, 1, 150), "
+        f"'{_PARA_BOILER}', "
+        "substr(_t0, 151, 4000), "
+        f"case when doc_id % 5 = 0 then '{_PARA_FOOTER}' end)")
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level PARAGRAPH dedup (the CCNet granularity — Wenzek et
+    al. 2020 hash paragraphs, not lines): same 60-bit-hash census shape
+    as line_dedup with the blank-line split regex; boilerplate/footer
+    paragraphs appearing in >=2 docs drop, unique prose survives, docs
+    rebuild in order."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "coalesce(text, '') as _t0")
+    lined = docs.selectExpr("doc_id", f"{_para_text('spark')} as _pt")
+    out = dedup.line_dedup(lined, text_col="_pt", unit="paragraph")
+    return out.selectExpr(
+        "doc_id", "text_deduped",
+        "n_lines_kept as n_paras_kept",
+        "n_lines_dropped as n_paras_dropped")
+
+
+def _oracle_paragraph_dedup() -> str:
+    inner = (f"(select doc_id, {_para_text('duck')} as _pt from "
+             f"(select doc_id, coalesce(text, '') as _t0 from documents))")
+    body = dedup.duckdb_line_dedup_sql(inner, text_col="_pt",
+                                       unit="paragraph")
+    return (f"select doc_id, text_deduped, "
+            f"n_lines_kept as n_paras_kept, "
+            f"n_lines_dropped as n_paras_dropped from ({body})")
+
+
 def _q_dsir_importance(spark, sf_dir):
     """DSIR-style importance weighting (operators/importance.py — Xie et
     al. 2023): hashed unigram+bigram distribution match of every doc
@@ -1901,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced queries (json_extract_events, session_windows) carry
         # green CORRECTNESS_r03 rows and moved to slots 51+
         "line_dedup": _q_line_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "token_budget_sample": _q_token_budget_sample,
         "canonical_dedup_groups": _q_canonical_dedup,
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -1914,12 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "boilerplate_by_source": _q_boilerplate_by_source,
         "quality_classifier": _q_quality_classifier,
-        "lexical_diversity": _q_lexical_diversity,
-        "domain_quality": _q_domain_quality,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
-        "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_neardup": _q_semantic_neardup,
-        "lang_agreement": _q_lang_agreement,
         "pii_density_by_source": _q_pii_density_by_source,
         "url_quality": _q_url_quality,
         "main_content_extract": _q_main_content_extract,
@@ -1948,6 +1994,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 51+: driver-witnessed green in r03/r04/r05, parked
         # outside the 50-row window (still oracle-checked by
         # tools/check_oracle.py and the in-suite twin subset)
+        # third-wave round-6 parking: lexical_diversity, domain_quality,
+        # lang_agreement (all r03-r05 driver-green) move here so
+        # c4_line_filter / dsir_importance / bpe_fertility_by_lang get
+        # witnessed rows without pushing the VERDICT-r05 rotation
+        # (substring_dup_summary / incremental_novelty /
+        # decontaminate_chain / bpe_vocab) back out of the window
+        "lexical_diversity": _q_lexical_diversity,
+        "domain_quality": _q_domain_quality,
+        "lang_agreement": _q_lang_agreement,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_signatures": _q_minhash,
         "doc_fingerprint": _q_fingerprint,
@@ -2194,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": dedup.duckdb_simhash_sql("documents"),
         "line_dedup": dedup.duckdb_line_dedup_sql("documents"),
+        "paragraph_dedup": _oracle_paragraph_dedup(),
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),

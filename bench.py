@@ -92,6 +92,10 @@ HEADLINE = [
     "ccnet_buckets",
     "unicode_clean",
     "simhash_neardup_pairs",
+    "c4_line_filter",
+    "dsir_importance",
+    "bpe_fertility_by_lang",
+    "paragraph_dedup",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

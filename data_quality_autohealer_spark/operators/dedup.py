@@ -213,14 +213,28 @@ def canonical_dedup(df: DataFrame, text_col: str = "text",
     return df.join(w, on=id_col, how="left_semi")
 
 
+# dedup granularities: split regex + rebuild separator per unit.
+# paragraph = blank-line separated (CCNet/Wenzek et al. paragraph hashes);
+# runs of 2+ newlines collapse to one canonical '\n\n' on rebuild. The
+# pattern strings are valid in Java regex AND RE2 (DuckDB) — '\n' is an
+# escape in both.
+_UNITS = {
+    "line": ("\n", "\n"),
+    "paragraph": ("\n{2,}", "\n\n"),
+}
+
+
 def line_dedup(df: DataFrame, min_doc_count: int = 2,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               unit: str = "line") -> DataFrame:
     """C4-style corpus-level line dedup (boilerplate removal): drop every
     line whose exact trimmed text occurs in >= ``min_doc_count`` DISTINCT
     documents (nav bars, cookie banners, footers), then rebuild each
     document from its surviving lines in original order. Returns
     (id, text_deduped, n_lines_kept, n_lines_dropped) — every input doc
-    survives, possibly with empty text.
+    survives, possibly with empty text. ``unit='paragraph'`` dedups
+    blank-line-separated paragraphs instead (the CCNet granularity);
+    identical shuffle shape — only the split regex changes.
 
     Scale shape: posexplode lines once; the duplicate census groups on the
     60-bit md5 base hash (16 B/line shuffle, map-side-combined distinct-doc
@@ -231,9 +245,11 @@ def line_dedup(df: DataFrame, min_doc_count: int = 2,
     rows; DuckDB unnest(NULL) likewise) — filter or coalesce upstream if
     they must survive.
     """
+    split_re, join_sep = _UNITS[unit]
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        F.posexplode(F.split(F.col(text_col), split_re))
+        .alias("pos", "line"))
     keyed = lines.withColumn(
         "lhash",
         F.when(F.trim("line") != "",
@@ -251,7 +267,7 @@ def line_dedup(df: DataFrame, min_doc_count: int = 2,
                     F.transform(
                         F.array_sort(F.collect_list(kept_struct)),
                         lambda s: s["line"]),
-                    "\n").alias("text_deduped"),
+                    join_sep).alias("text_deduped"),
                  F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
                  .cast("long").alias("n_lines_kept"),
                  F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
@@ -324,16 +340,25 @@ def duckdb_intra_doc_line_dedup_sql(table: str = "documents",
 
 def duckdb_line_dedup_sql(table: str = "documents", min_doc_count: int = 2,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> str:
+                          id_col: str = "doc_id",
+                          unit: str = "line") -> str:
     """Twin: parallel unnests (DuckDB zips equal-length unnests) give
     (pos, line); same 60-bit trimmed-line hash; string_agg ordered by pos
     rebuilds (coalesced to '' — string_agg of zero rows is NULL)."""
     lh = _hash_base("trim(line)", "duck")
+    if unit == "paragraph":
+        # '\n' is an RE2 escape; DuckDB standard strings keep the
+        # backslash, so the pattern literal reads '\n{2,}' verbatim
+        split = f"string_split_regex({text_col}, '\\n{{2,}}')"
+        sep = "chr(10) || chr(10)"
+    else:
+        split = f"string_split({text_col}, chr(10))"
+        sep = "chr(10)"
     return f"""
         with l as (
             select {id_col}, unnest(generate_series(1, len(ln))) as pos,
                    unnest(ln) as line
-            from (select {id_col}, string_split({text_col}, chr(10)) as ln
+            from (select {id_col}, {split} as ln
                   from {table})
         ),
         k as (select {id_col}, pos, line,
@@ -343,7 +368,7 @@ def duckdb_line_dedup_sql(table: str = "documents", min_doc_count: int = 2,
               group by lhash having count(distinct {id_col}) >= {min_doc_count})
         select k.{id_col},
                coalesce(string_agg(case when d.lhash is null then k.line end,
-                                   chr(10) order by k.pos), '')
+                                   {sep} order by k.pos), '')
                    as text_deduped,
                count(case when d.lhash is null then 1 end)::bigint
                    as n_lines_kept,

@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--max-bucket-size", type=int, default=1000)
     p.add_argument("--min-line-docs", type=int, default=2)
+    p.add_argument("--unit", choices=["line", "paragraph"], default="line",
+                   help="dedup grain for --mode line: newline lines or "
+                        "blank-line paragraphs (CCNet granularity)")
     p.add_argument("--keep-best", action="store_true",
                    help="neardup mode: keep the highest-quality cluster "
                         "member (distilled-classifier score, tie min id) "
@@ -263,7 +266,8 @@ def main(argv: list[str] | None = None) -> dict:
         deduped = pages.join(boiler, "url", "left_anti")
     elif args.mode == "line":
         ld = dedup.line_dedup(pages, min_doc_count=args.min_line_docs,
-                              text_col="text", id_col="url").persist()
+                              text_col="text", id_col="url",
+                              unit=args.unit).persist()
         cached.append(ld)
         lines_dropped = int(ld.agg(
             F.sum("n_lines_dropped")).collect()[0][0] or 0)

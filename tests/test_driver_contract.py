@@ -37,6 +37,10 @@ def test_registry_shape():
                if name not in rotated_rows_only)
     # the round-5 marquee operators must hold hash-checkable window slots
     assert {"substring_dup_summary", "incremental_novelty"} <= set(window)
+    # round-6 additions must be witnessed this round too
+    assert {"bpe_vocab", "ccnet_buckets", "unicode_clean",
+            "simhash_neardup_pairs", "c4_line_filter", "dsir_importance",
+            "bpe_fertility_by_lang"} <= set(window)
 
 
 def test_every_oracle_sql_parses_in_duckdb():

@@ -212,6 +212,43 @@ def test_line_dedup_removes_boilerplate_lines(spark):
     assert out[0]["n_lines_kept"] == 1 and out[0]["n_lines_dropped"] == 2
 
 
+def test_paragraph_dedup_unit(spark):
+    """unit='paragraph': blank-line-separated paragraphs are the dedup
+    grain (CCNet granularity) — a multi-line paragraph is ONE unit, runs
+    of 2+ newlines collapse to one canonical blank line on rebuild, and
+    single-newline lines inside a paragraph never dedup."""
+    import duckdb
+    import pandas as pd
+
+    from data_quality_autohealer_spark.operators.dedup import (
+        duckdb_line_dedup_sql, line_dedup,
+    )
+
+    boiler = "subscribe now\nget our newsletter"   # multi-LINE paragraph
+    docs = [
+        (0, f"unique alpha text\n\n{boiler}\n\nmore alpha prose"),
+        (1, f"unique beta text\n\n\n{boiler}"),     # 3 newlines = one sep
+        (2, "subscribe now"),  # matches a LINE of boiler, not the para
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(df, unit="paragraph").collect()}
+    assert out[0]["text_deduped"] == "unique alpha text\n\nmore alpha prose"
+    assert out[0]["n_lines_dropped"] == 1
+    assert out[1]["text_deduped"] == "unique beta text"
+    # the single-line doc 2 does NOT match the two-line paragraph
+    assert out[2]["text_deduped"] == "subscribe now"
+    # DuckDB twin parity on the same frame
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(
+        {"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}))
+    duck = con.execute(
+        duckdb_line_dedup_sql("docs", unit="paragraph")
+        + " order by 1").fetchall()
+    want = [tuple(out[i]) for i in sorted(out)]
+    assert want == duck
+
+
 def test_canonical_dedup_collapses_variants(spark):
     """Fuzzy-exact dedup: case/punctuation/whitespace variants share a
     canonical hash; genuinely different texts do not."""

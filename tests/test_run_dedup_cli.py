@@ -52,6 +52,27 @@ def test_line_mode_strips_boilerplate_keeps_all_docs(spark, tmp_path):
     assert any("duplicate lines removed" in r["message"] for r in audits)
 
 
+def test_line_mode_paragraph_unit(spark, tmp_path):
+    """--unit paragraph: the multi-line boilerplate PARAGRAPH drops as one
+    unit; its constituent lines never dedup individually."""
+    from data_quality_autohealer_spark.warehouse import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    boiler = "subscribe now\nget the newsletter"
+    rows = [(f"http://p{i}/", f"unique prose {i}\n\n{boiler}")
+            for i in range(3)]
+    rows.append(("http://solo/", "subscribe now"))  # single LINE, kept
+    wh.write_pages(_pages(spark, rows))
+    out = run_dedup.main(["--warehouse", str(tmp_path / "wh"),
+                          "--mode", "line", "--unit", "paragraph"])
+    assert out["docs_in"] == 4 and out["docs_out"] == 4
+    assert out["lines_dropped"] == 3          # one paragraph per doc
+    texts = {r["url"]: r["text"] for r in
+             wh.read_pages("pages_deduped").select("url", "text").collect()}
+    for i in range(3):
+        assert texts[f"http://p{i}/"] == f"unique prose {i}"
+    assert texts["http://solo/"] == "subscribe now"
+
+
 def test_index_then_decontaminate_cli(spark, tmp_path):
     """Incremental dedup across CLI runs: --mode index persists the
     corpus's signature index; --mode decontaminate drops a later crawl's
