@@ -773,6 +773,60 @@ def _oracle_quality_classifier() -> str:
     return distill.duckdb_distill_sql(labels)
 
 
+# fixed-width bins over the classifier's DECISION VARIABLE (the raw
+# integer score sum — keep_pred cuts on it, so the reliability diagram
+# must bin on it too): data-independent — never a global ntile window —
+# and clamped to [-6, 6] so the histogram schema is stable at any corpus
+# size
+_CAL_BIN_MICRO = 25_000_000
+
+
+def _cal_bin(score: str) -> str:
+    """Engine-shared fixed-width floor bin of the raw score, clamped."""
+    return (f"cast(greatest(-6, least(6, floor({score} / "
+            f"cast({_CAL_BIN_MICRO} as double)))) as bigint)")
+
+
+def _q_classifier_calibration(spark, sf_dir):
+    """Calibration census of the distilled classifier (the reliability
+    diagram a model card reports — public: Guo et al. 2017 on
+    calibration): per fixed-width bin of the decision-variable score,
+    doc count and the HELD-OUT heuristic keep-rate (train rows excluded
+    so the curve is honest). Fixed-width integer bins — never a global
+    ntile window — so the census is ONE algebraic groupBy at any corpus
+    size."""
+    from data_quality_autohealer_spark.operators import distill
+    labeled = th.with_quality_signals(_docs(spark, sf_dir))
+    scored = distill.distill_quality_classifier(labeled)
+    return (scored.where("not is_train")
+            .selectExpr(f"{_cal_bin('score_micro')} as score_bin",
+                        "keep_heur")
+            .groupBy("score_bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("docs"),
+                 F.sum(F.expr("case when keep_heur then 1 else 0 end"))
+                 .cast("bigint").alias("kept"))
+            .selectExpr(
+                "score_bin", "docs", "kept",
+                "floor(kept / cast(docs as double) * "
+                "cast(1000000 as double) + cast(0.5 as double)) / "
+                "cast(1000000 as double) as keep_rate"))
+
+
+def _oracle_classifier_calibration() -> str:
+    return f"""
+        with s as ({_oracle_quality_classifier()})
+        select {_cal_bin('score_micro')} as score_bin,
+               count(*)::bigint as docs,
+               sum(case when keep_heur then 1 else 0 end)::bigint as kept,
+               floor(sum(case when keep_heur then 1 else 0 end)::double /
+                     count(*)::double * cast(1000000 as double) +
+                     cast(0.5 as double)) / cast(1000000 as double)
+                   as keep_rate
+        from s where not is_train
+        group by 1
+    """
+
+
 # deterministic messy suffixes cycled by doc_id % 3: clean ASCII /
 # combining Latin + fullwidth / ring+BEL control+Hangul jamo — so
 # `changed` varies and the NFC + control-strip path is exercised for real
@@ -1964,10 +2018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "boilerplate_by_source": _q_boilerplate_by_source,
         "quality_classifier": _q_quality_classifier,
+        "classifier_calibration": _q_classifier_calibration,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "semantic_neardup": _q_semantic_neardup,
         "pii_density_by_source": _q_pii_density_by_source,
-        "url_quality": _q_url_quality,
         "main_content_extract": _q_main_content_extract,
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -2004,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _q_domain_quality,
         "lang_agreement": _q_lang_agreement,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "url_quality": _q_url_quality,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_signatures": _q_minhash,
         "doc_fingerprint": _q_fingerprint,
@@ -2251,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.duckdb_simhash_sql("documents"),
         "line_dedup": dedup.duckdb_line_dedup_sql("documents"),
         "paragraph_dedup": _oracle_paragraph_dedup(),
+        "classifier_calibration": _oracle_classifier_calibration(),
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),

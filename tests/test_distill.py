@@ -85,3 +85,20 @@ def test_weight_table_bounds(synth_labeled):
     assert w.w_micro.abs().max() <= 1_000_000
     # both polarities actually learned
     assert (w.w_micro > 0).any() and (w.w_micro < 0).any()
+
+
+def test_classifier_calibration_curve(spark):
+    """The reliability census: held-out only, stable clamped bins, and the
+    keep-rate in the top score bin beats the bottom bin (the distilled
+    score must rank the heuristic labels on held-out docs)."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry._q_classifier_calibration(spark, entry.SF001).collect(),
+        key=lambda r: r["score_bin"])
+    assert len(rows) >= 2
+    assert all(-6 <= r["score_bin"] <= 6 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["keep_rate"] <= 1.0
+        assert r["kept"] <= r["docs"]
+    assert rows[-1]["keep_rate"] > rows[0]["keep_rate"]
