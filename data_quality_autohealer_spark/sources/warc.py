@@ -169,6 +169,33 @@ def http_body(payload: Column) -> Column:
     return F.regexp_replace(s, r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n", "")
 
 
+# robots directives: <meta name=robots> with either attribute order, and
+# the X-Robots-Tag HTTP response header (checked on the RAW payload, i.e.
+# before http_body strips the header block). Java-regex-only (no oracle
+# twin — ingest is a Spark-side source adapter), but RE2-safe by the
+# repo's portability rule anyway: no backreferences, separate
+# alternations per attribute order.
+_ROBOTS_META_A = (r"(?is)<meta[^>]*name[ \t]*=[ \t]*[\"']?robots[\"']?"
+                  r"[^>]*content[ \t]*=[ \t]*[\"']?([^\"'>]*)")
+_ROBOTS_META_B = (r"(?is)<meta[^>]*content[ \t]*=[ \t]*[\"']?([^\"'>]*)"
+                  r"[\"']?[^>]*name[ \t]*=[ \t]*[\"']?robots")
+_XROBOTS_HDR = r"(?im)^x-robots-tag:[^\r\n]*"
+
+
+def robots_noindex(payload: Column) -> Column:
+    """True when the page asks not to be used: a robots meta tag whose
+    content contains ``noindex`` (either attribute order) or an
+    ``X-Robots-Tag`` response header saying so. Pure JVM regexps — one
+    projection, no Python in the hot path."""
+    s = payload.cast("string")
+    joined = F.concat_ws(
+        " ",
+        F.regexp_extract(s, _ROBOTS_META_A, 1),
+        F.regexp_extract(s, _ROBOTS_META_B, 1),
+        F.regexp_extract(s, _XROBOTS_HDR, 0))
+    return F.lower(joined).contains("noindex")
+
+
 def html_payload_text(body: Column) -> Column:
     """HTML string -> visible text, entirely JVM-side (regexp chain inside
     whole-stage codegen — no Python in the hot path): drop script/style
@@ -188,7 +215,8 @@ def html_payload_text(body: Column) -> Column:
 
 
 def warc_to_pages(records: DataFrame,
-                  text_extract: str = "main") -> DataFrame:
+                  text_extract: str = "main",
+                  drop_noindex: bool = True) -> DataFrame:
     """Adapt response records to the pipeline's pages schema
     (synth.PAGES_SCHEMA_DDL: url, warc_ts, html, text, lang) so a crawl
     segment feeds the quality filter directly.
@@ -205,10 +233,16 @@ def warc_to_pages(records: DataFrame,
       silently yielding NULL on '...T00:00:00.123456Z'.
     - ``lang`` arrives unknown ('und') and is assigned by the langid stage
       downstream (the decision rule exempts an 'und' claim).
+    - ``drop_noindex`` (default True): respect ``noindex`` robots
+      directives (meta tag or X-Robots-Tag header) by excluding those
+      pages at ingest — the publisher opted out; the ingest CLI surfaces
+      the dropped count so the exclusion is never silent.
     """
     if text_extract not in ("main", "tags"):
         raise ValueError(f"text_extract must be 'main' or 'tags', "
                          f"got {text_extract!r}")
+    if drop_noindex:
+        records = records.where(~robots_noindex(F.col("payload")))
     ts = F.to_timestamp(
         F.regexp_replace(F.col("warc_date"), r"[.][0-9]+", ""),
         "yyyy-MM-dd'T'HH:mm:ssX")

@@ -109,12 +109,18 @@ def main(argv: list[str] | None = None) -> dict:
                    help="'main' = block-scored boilerplate removal "
                         "(nav/footer/linkfarm dropped); 'tags' = legacy "
                         "whole-page tag strip")
+    p.add_argument("--keep-noindex", action="store_true",
+                   help="ingest pages carrying a noindex robots directive "
+                        "(meta tag or X-Robots-Tag header) instead of "
+                        "respecting the publisher opt-out")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    from pyspark.sql import functions as F
+
     from data_quality_autohealer_spark.session import get_spark
     from data_quality_autohealer_spark.sources.warc import (
-        read_warc, warc_to_pages,
+        read_warc, robots_noindex, warc_to_pages,
     )
     from data_quality_autohealer_spark.warehouse import Warehouse
 
@@ -124,8 +130,13 @@ def main(argv: list[str] | None = None) -> dict:
         summary["synth_records"] = synth_segments(
             spark, args.warc, args.synth_segments, args.docs_per_segment)
 
-    pages = warc_to_pages(read_warc(spark, args.warc),
-                          text_extract=args.text_extract)
+    records = read_warc(spark, args.warc)
+    if not args.keep_noindex:
+        # the exclusion is never silent: surface the opt-out count
+        summary["noindex_dropped"] = records.where(
+            robots_noindex(F.col("payload"))).count()
+    pages = warc_to_pages(records, text_extract=args.text_extract,
+                          drop_noindex=not args.keep_noindex)
     wh = Warehouse(spark, args.warehouse, num_buckets=args.num_buckets)
     wh.write_pages(pages, args.pages_table)
     summary["pages_written"] = wh.read_pages(args.pages_table).count()

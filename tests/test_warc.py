@@ -186,3 +186,57 @@ def test_write_warc_file_byte_deterministic(tmp_path):
     write_warc_file(recs, p1, gzip_per_record=True)
     write_warc_file(recs, p2, gzip_per_record=True)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_robots_noindex_detection_and_drop(spark, tmp_path):
+    """noindex opt-outs (meta tag either attribute order, X-Robots-Tag
+    header) drop at ingest by default; 'index,follow' and plain pages
+    stay; keep_noindex retains everything."""
+    from data_quality_autohealer_spark.sources.warc import robots_noindex
+
+    def rec(i, payload):
+        return {"warc_type": "response", "url": f"http://r.example/{i}",
+                "warc_date": "2024-01-01T00:00:01Z",
+                "record_id": f"<urn:uuid:r{i}>",
+                "content_type": "application/http; msgtype=response",
+                "payload": payload}
+
+    body = b"<body><p>the quick brown fox jumps over the dog.</p></body>"
+    recs = [
+        rec(0, b"HTTP/1.1 200 OK\r\n\r\n<html><head>"
+               b'<meta name="robots" content="noindex, nofollow">'
+               b"</head>" + body + b"</html>"),
+        rec(1, b"HTTP/1.1 200 OK\r\n\r\n<html><head>"
+               b"<meta content='NOINDEX' name=robots>"     # reversed attrs
+               b"</head>" + body + b"</html>"),
+        rec(2, b"HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n\r\n"
+               b"<html>" + body + b"</html>"),
+        rec(3, b"HTTP/1.1 200 OK\r\n\r\n<html><head>"
+               b'<meta name="robots" content="index, follow">'
+               b"</head>" + body + b"</html>"),
+        rec(4, b"HTTP/1.1 200 OK\r\n\r\n<html>" + body + b"</html>"),
+        # 'noindex' as PROSE, not a directive: must not trigger
+        rec(5, b"HTTP/1.1 200 OK\r\n\r\n<html><body>"
+               b"<p>how to noindex a page properly.</p></body></html>"),
+    ]
+    path = str(tmp_path / "robots.warc")
+    write_warc_file(recs, path)
+    records = read_warc(spark, path)
+    import pyspark.sql.functions as F
+    flags = {r["url"]: r["f"] for r in records.select(
+        "url", robots_noindex(F.col("payload")).alias("f")).collect()}
+    assert [flags[f"http://r.example/{i}"] for i in range(6)] == [
+        True, True, True, False, False, False]
+
+    kept = {r["url"] for r in warc_to_pages(records).collect()}
+    assert kept == {f"http://r.example/{i}" for i in (3, 4, 5)}
+    all_pages = {r["url"]
+                 for r in warc_to_pages(records,
+                                        drop_noindex=False).collect()}
+    assert len(all_pages) == 6
+
+    # CLI surfaces the opt-out count
+    import jobs.run_warc_ingest as ingest
+    s = ingest.main(["--warc", path,
+                     "--warehouse", str(tmp_path / "wh")])
+    assert s["noindex_dropped"] == 3 and s["pages_written"] == 3
