@@ -118,6 +118,110 @@ def _q_drop_summary(spark, sf_dir):
         .where(F.col("n_docs") > 0))
 
 
+def _q_rule_ablation(spark, sf_dir):
+    """Per-rule ablation census (the filter-design report: which rules
+    carry weight ALONE vs merely co-fire): for every heuristic rule, how
+    many docs fire it at all (hits) and how many would be saved by
+    removing JUST that rule (sole_hits — the doc's only firing rule).
+    Same conditional-aggregation shape as quality_drop_summary — no
+    explode, map-side-combined fixed-width counters, ONE 1-row agg at
+    any corpus size."""
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    conds = th.spark_rule_conditions()
+    codes = list(conds.keys())
+    nf = None
+    for c in codes:
+        term = conds[c].cast("int")
+        nf = term if nf is None else nf + term
+    aggs = []
+    for i, c in enumerate(codes):
+        aggs.append(F.sum(conds[c].cast("long")).alias(f"h{i}"))
+        aggs.append(F.sum((conds[c] & (nf == 1)).cast("long"))
+                    .alias(f"s{i}"))
+    agg = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', h{i}, s{i}" for i, c in enumerate(codes))
+    return (agg.selectExpr(
+        f"stack({len(codes)}, {stack}) as (reason, hits, sole_hits)")
+        .where(F.col("hits") > 0))
+
+
+def _oracle_rule_ablation() -> str:
+    conds = th.duckdb_rule_conditions()
+    codes = list(conds.keys())
+    nf = " + ".join(f"(({conds[c]})::int)" for c in codes)
+    arms = []
+    for c in codes:
+        arms.append(
+            f"select '{c}' as reason, "
+            f"sum(({conds[c]})::int)::bigint as hits, "
+            f"sum(case when ({conds[c]}) and _nf = 1 then 1 else 0 end"
+            f")::bigint as sole_hits from f")
+    union = " union all ".join(arms)
+    return f"""
+        with sig as ({_duck_signals_cte()}),
+        f as (select sig.*, ({nf}) as _nf from sig)
+        select * from ({union}) where hits > 0
+    """
+
+
+def _q_corpus_report(spark, sf_dir):
+    """One-scan fused corpus health report (the dataset-card summary
+    block): docs, languages, word mass, exact-duplicate rate, heuristic
+    keep rate, mean doc length — ONE aggregation over one scan, no
+    per-metric jobs (the reference profiles column-at-a-time;
+    SURVEY §2.3 A1-A7 fuses). The two COUNT(DISTINCT)s are the exact
+    oracle baseline; at 100× swap approx_count_distinct (the
+    profile_documents_approx pattern) — everything else is algebraic."""
+    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    conds = th.spark_rule_conditions()
+    fired = None
+    for c in conds.values():
+        fired = c if fired is None else (fired | c)
+    r6 = ("floor({} * cast(1000000 as double) + cast(0.5 as double)) / "
+          "cast(1000000 as double)")
+    return (df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("word_count").cast("bigint").alias("words_total"),
+        F.countDistinct(F.expr("md5(text)")).cast("bigint")
+        .alias("distinct_texts"),
+        F.sum((~fired).cast("long")).cast("bigint").alias("kept"))
+        .selectExpr(
+            "n_docs", "n_langs", "words_total", "distinct_texts",
+            r6.format("(cast(n_docs - distinct_texts as double) / "
+                      "cast(n_docs as double))") + " as exact_dup_rate",
+            r6.format("(cast(kept as double) / cast(n_docs as double))")
+            + " as keep_rate",
+            r6.format("(cast(words_total as double) / "
+                      "cast(n_docs as double))") + " as mean_words"))
+
+
+def _oracle_corpus_report() -> str:
+    conds = th.duckdb_rule_conditions()
+    fired = " or ".join(f"({c})" for c in conds.values())
+    r6 = ("floor({} * cast(1000000 as double) + cast(0.5 as double)) / "
+          "cast(1000000 as double)")
+    dup = r6.format("((n_docs - distinct_texts)::double / n_docs::double)")
+    keep = r6.format("(kept::double / n_docs::double)")
+    mean = r6.format("(words_total::double / n_docs::double)")
+    return f"""
+        with sig as ({_duck_signals_cte()}),
+        j as (select sig.*, d.text as _txt, not ({fired}) as _keep
+              from sig join (select doc_id, text from documents) d
+              on sig.doc_id = d.doc_id),
+        a as (select count(*)::bigint as n_docs,
+                     count(distinct lang)::bigint as n_langs,
+                     sum(word_count)::bigint as words_total,
+                     count(distinct md5(_txt))::bigint as distinct_texts,
+                     sum(_keep::int)::bigint as kept
+              from j)
+        select n_docs, n_langs, words_total, distinct_texts,
+               {dup} as exact_dup_rate, {keep} as keep_rate,
+               {mean} as mean_words
+        from a
+    """
+
+
 def _q_quality_confidence(spark, sf_dir):
     # per-rule confidence scores (reference ensemble {issue: score} dict +
     # rule min(rate/τ,1) shape); flattened to one column per heuristic rule
@@ -1972,6 +2076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": _q_quality_signals,
         "quality_decision": _q_quality_decision,
         "quality_drop_summary": _q_drop_summary,
+        "rule_ablation": _q_rule_ablation,
+        "corpus_report": _q_corpus_report,
         "quality_confidence": _q_quality_confidence,
         "quality_severity_by_lang": _q_severity_by_lang,
         "bucket_skew": _q_bucket_skew,
@@ -2019,9 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_by_source": _q_boilerplate_by_source,
         "quality_classifier": _q_quality_classifier,
         "classifier_calibration": _q_classifier_calibration,
-        "cross_corpus_neardup": _q_cross_corpus_neardup,
         "semantic_neardup": _q_semantic_neardup,
-        "pii_density_by_source": _q_pii_density_by_source,
         "main_content_extract": _q_main_content_extract,
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -2059,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": _q_lang_agreement,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "url_quality": _q_url_quality,
+        "cross_corpus_neardup": _q_cross_corpus_neardup,
+        "pii_density_by_source": _q_pii_density_by_source,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_signatures": _q_minhash,
         "doc_fingerprint": _q_fingerprint,
@@ -2307,6 +2413,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": dedup.duckdb_line_dedup_sql("documents"),
         "paragraph_dedup": _oracle_paragraph_dedup(),
         "classifier_calibration": _oracle_classifier_calibration(),
+        "rule_ablation": _oracle_rule_ablation(),
+        "corpus_report": _oracle_corpus_report(),
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),

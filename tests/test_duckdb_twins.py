@@ -29,6 +29,10 @@ SUBSET = [
     "ngram_novelty", "charset_quality", "dup_cluster_histogram",
     "boilerplate_by_source", "substring_dup_summary",
     "incremental_novelty",
+    # round-6 continuation additions
+    "c4_line_filter", "dsir_importance", "bpe_fertility_by_lang",
+    "paragraph_dedup", "classifier_calibration", "rule_ablation",
+    "corpus_report",
 ]
 
 
@@ -76,3 +80,25 @@ def test_zscore_degenerate_groups_match_oracle(spark, tmp_path):
     assert value_hash(sdf) == value_hash(odf)
     by_type = {r.event_type: r.n_outliers for r in sdf.itertuples()}
     assert by_type["solo"] == 0 and by_type["flat"] == 0
+
+
+def test_rule_ablation_and_corpus_report_invariants(spark):
+    """Cross-query reconciliation: ablation hits == drop_summary counts
+    per rule; sole_hits <= hits; corpus_report rates are consistent with
+    the decision query's keep census."""
+    abl = {r["reason"]: r for r in entry_mod.queries()["rule_ablation"](
+        spark, SF_DIR).collect()}
+    drop = {r["reason"]: r["n_docs"] for r in
+            entry_mod.queries()["quality_drop_summary"](
+                spark, SF_DIR).collect()}
+    assert set(abl) == set(drop)
+    for code, row in abl.items():
+        assert row["hits"] == drop[code]
+        assert 0 <= row["sole_hits"] <= row["hits"]
+    rep = entry_mod.queries()["corpus_report"](spark, SF_DIR).collect()[0]
+    dec = entry_mod.queries()["quality_decision"](spark, SF_DIR).collect()
+    assert rep["n_docs"] == len(dec)
+    kept = sum(1 for r in dec if r["keep"])
+    assert abs(rep["keep_rate"] - kept / len(dec)) < 1e-6
+    assert rep["distinct_texts"] <= rep["n_docs"]
+    assert 0.0 <= rep["exact_dup_rate"] <= 1.0
