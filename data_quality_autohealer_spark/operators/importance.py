@@ -157,6 +157,47 @@ def dsir_scores(df: DataFrame, target_pred: str,
                 f"{per} > 0 as selected"))
 
 
+def save_weights(weights: DataFrame, path: str,
+                 n_buckets: int = N_BUCKETS, alpha: int = ALPHA,
+                 target_desc: str = "") -> None:
+    """Persist a learned weight table (train once against the target
+    corpus, score every future crawl wave against it). A ``_dsir_params``
+    sidecar rides in the SAME filesystem (sources/fsio — hdfs:/s3a:
+    safe); loading validates it so weights trained under one hashing
+    config can never silently score under another (the signature-index
+    sidecar convention)."""
+    import json
+
+    spark = weights.sparkSession
+    weights.coalesce(1).write.mode("overwrite").parquet(path)
+    from ..sources import fsio
+    fsio.write_text(spark, f"{path}/_dsir_params.json", json.dumps(
+        {"n_buckets": n_buckets, "alpha": alpha,
+         "target": target_desc}, sort_keys=True))
+
+
+def load_weights(spark, path: str, n_buckets: int = N_BUCKETS,
+                 alpha: int = ALPHA) -> DataFrame:
+    """Load a persisted weight table; fail loudly on a missing or
+    mismatched params sidecar."""
+    import json
+
+    from ..sources import fsio
+    raw = fsio.read_text(spark, f"{path}/_dsir_params.json")
+    if raw is None:
+        raise ValueError(
+            f"DSIR weights at {path} have no _dsir_params.json sidecar — "
+            f"refusing to score against unverifiable hashing params")
+    params = json.loads(raw)
+    got = {"n_buckets": params.get("n_buckets"), "alpha": params.get("alpha")}
+    want = {"n_buckets": n_buckets, "alpha": alpha}
+    if got != want:
+        raise ValueError(
+            f"DSIR weights at {path} were trained with {got}, caller "
+            f"expects {want} — scores would be silently wrong")
+    return spark.read.parquet(path)
+
+
 def duckdb_dsir_sql(table: str = "documents",
                     target_pred: str = "lang = 'en'",
                     text_col: str = "text", id_col: str = "doc_id",

@@ -47,7 +47,9 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
                bpe_vocab_out: str | None = None,
                total_token_budget: int | None = None,
                temperature: float = 0.5,
-               dsir_target: str | None = None) -> dict:
+               dsir_target: str | None = None,
+               dsir_weights: str | None = None,
+               dsir_weights_out: str | None = None) -> dict:
     """clean(url, warc_ts, lang, text) -> sharded JSONL.gz + summary.
 
     Two mixture modes: ``rates`` (per-lang doc-rate hash sampling, the
@@ -76,21 +78,33 @@ def export_mix(spark, clean, out_dir: str, rates: dict[str, float],
     from data_quality_autohealer_spark.sources.tables import write_jsonl
 
     dsir_summary = None
-    if dsir_target:
-        # DSIR gate (operators/importance.py): learn hashed-ngram
-        # importance weights against the target slice of THIS corpus and
-        # keep only target-like docs before any budgeting. One broadcast
-        # scoring join + one url equi-join; weights are n_buckets rows.
-        from data_quality_autohealer_spark.operators.importance import (
-            dsir_scores,
-        )
+    if dsir_target or dsir_weights:
+        # DSIR gate (operators/importance.py): score against hashed-ngram
+        # importance weights — learned in-flight against the target slice
+        # of THIS corpus (--dsir-target), or loaded from a stored table
+        # (--dsir-weights: train once on the reference target, score every
+        # crawl wave) — and keep only target-like docs before budgeting.
+        # One broadcast scoring join + one url equi-join.
+        from data_quality_autohealer_spark.operators import importance
+
         pre = clean.count()
-        kept_ids = (dsir_scores(clean, dsir_target, id_col="url")
-                    .where("selected").select("url"))
+        if dsir_weights:
+            w = importance.load_weights(spark, dsir_weights)
+        else:
+            w = importance.dsir_weights(clean, dsir_target, id_col="url")
+        if dsir_weights_out:
+            importance.save_weights(w, dsir_weights_out,
+                                    target_desc=dsir_target or "")
+            # read the persisted table back so scoring consumes the same
+            # artifact a later wave will
+            w = importance.load_weights(spark, dsir_weights_out)
+        scores = importance.dsir_scores(
+            clean, dsir_target or "false", id_col="url", weights=w)
+        kept_ids = scores.where("selected").select("url")
         clean = clean.join(kept_ids, "url")
         post = clean.count()
-        dsir_summary = {"target": dsir_target, "docs_in": pre,
-                        "docs_selected": post}
+        dsir_summary = {"target": dsir_target, "weights": dsir_weights,
+                        "docs_in": pre, "docs_selected": post}
 
     if token_budgets or total_token_budget:
         if tokenizer == "bpe":
@@ -225,6 +239,13 @@ def main(argv: list[str] | None = None) -> dict:
                         "TARGET slice (e.g. \"lang = 'en'\"); learns "
                         "DSIR importance weights against it and exports "
                         "only target-like docs")
+    p.add_argument("--dsir-weights", default=None,
+                   help="path of a persisted DSIR weight table "
+                        "(importance.save_weights) to score against "
+                        "instead of training in-flight")
+    p.add_argument("--dsir-weights-out", default=None,
+                   help="persist the (trained or loaded) weight table "
+                        "here for later waves")
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--salt", default="mix")
     p.add_argument("--master", default=None)
@@ -249,7 +270,9 @@ def main(argv: list[str] | None = None) -> dict:
                       bpe_vocab_out=args.bpe_vocab_out,
                       total_token_budget=args.total_token_budget,
                       temperature=args.temperature,
-                      dsir_target=args.dsir_target)
+                      dsir_target=args.dsir_target,
+                      dsir_weights=args.dsir_weights,
+                      dsir_weights_out=args.dsir_weights_out)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,21 @@ def test_export_dsir_gate(spark, tmp_path):
                  "count", "cnt").collect()}
     en_share = langs.get("en", 0) / max(sum(langs.values()), 1)
     assert en_share > 0.8
+
+
+def test_export_dsir_stored_weights_wave(spark, tmp_path):
+    """Train-once-score-every-wave: wave 1 persists the weight table,
+    wave 2 loads it (no target predicate needed) and selects the same
+    url set on the same corpus."""
+    wh_dir = _clean_warehouse(spark, tmp_path)
+    wpath = str(tmp_path / "dsir_weights")
+    s1 = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "w1"),
+                  "--dsir-target", "lang = 'en'",
+                  "--dsir-weights-out", wpath, "--shards", "2"])
+    s2 = ex.main(["--warehouse", wh_dir, "--out", str(tmp_path / "w2"),
+                  "--dsir-weights", wpath, "--shards", "2"])
+    assert s2["dsir"]["weights"] == wpath
+    assert s2["dsir"]["docs_selected"] == s1["dsir"]["docs_selected"]
+    a = {r["url"] for r in spark.read.json(str(tmp_path / "w1")).collect()}
+    b = {r["url"] for r in spark.read.json(str(tmp_path / "w2")).collect()}
+    assert a == b

@@ -101,3 +101,29 @@ def test_weight_table_is_broadcast(spark):
     plan = (importance.dsir_scores(df, "is_target", n_buckets=512)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_save_load_weights_roundtrip_and_guards(spark, tmp_path):
+    df = _frame(spark)
+    w = importance.dsir_weights(df, "is_target", n_buckets=512)
+    path = str(tmp_path / "dsirw")
+    importance.save_weights(w, path, n_buckets=512,
+                            target_desc="is_target")
+    back = importance.load_weights(spark, path, n_buckets=512)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, w.collect()))
+    # scoring through the stored table matches in-flight weights exactly
+    a = sorted(map(tuple, importance.dsir_scores(
+        df, "is_target", n_buckets=512).collect()))
+    b = sorted(map(tuple, importance.dsir_scores(
+        df, "is_target", n_buckets=512, weights=back).collect()))
+    assert a == b
+    # params mismatch and missing sidecar both fail loudly
+    import pytest
+    with pytest.raises(ValueError, match="trained with"):
+        importance.load_weights(spark, path, n_buckets=1024)
+    from data_quality_autohealer_spark.sources import fsio
+    fs, p = fsio._fs_path(spark, f"{path}/_dsir_params.json")
+    fs.delete(p, False)
+    with pytest.raises(ValueError, match="sidecar"):
+        importance.load_weights(spark, path, n_buckets=512)
