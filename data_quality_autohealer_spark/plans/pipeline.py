@@ -66,6 +66,33 @@ def score_pages(
     return df.select("text", *keep_cols, *passthrough)
 
 
+def c4_pre_clean(pages: DataFrame) -> DataFrame:
+    """Projection-only C4 stage (functions/c4.py): rewrite ``text`` to the
+    line-cleaned form and carry the page flag as ``_c4_keep`` for
+    :func:`c4_merge_decision` after scoring. No shuffle, no state — safe
+    in batch AND Structured Streaming unchanged."""
+    from ..functions import c4 as c4f
+
+    return (c4f.with_c4(pages, "text")
+            .withColumn("text", F.col("c4_text_clean"))
+            .withColumnRenamed("c4_page_keep", "_c4_keep")
+            .drop("c4_text_clean", "c4_n_lines", "c4_n_lines_kept",
+                  "c4_drop_reason"))
+
+
+def c4_merge_decision(scored: DataFrame) -> DataFrame:
+    """Fold the carried C4 page flag into the decision: flagged pages get
+    reason code ``c4.page`` (sorted in) and ``keep`` goes false."""
+    return (scored.withColumn(
+        "reasons",
+        F.when(~F.col("_c4_keep"),
+               F.array_sort(F.array_union(
+                   "reasons", F.array(F.lit("c4.page")))))
+        .otherwise(F.col("reasons")))
+        .withColumn("keep", F.col("keep") & F.col("_c4_keep"))
+        .drop("_c4_keep"))
+
+
 def bucket_metrics(scored: DataFrame, run_id: str) -> DataFrame:
     """Per-bucket lineage + rule-hit metrics (the checkpoint rows).
 
@@ -161,24 +188,11 @@ def run_filter(
     todo = wh.resume_filter(pages, run_id)
     extra: tuple[str, ...] = ()
     if c4:
-        from ..functions import c4 as c4f
-
-        todo = (c4f.with_c4(todo, "text")
-                .withColumn("text", F.col("c4_text_clean"))
-                .withColumnRenamed("c4_page_keep", "_c4_keep")
-                .drop("c4_text_clean", "c4_n_lines", "c4_n_lines_kept",
-                      "c4_drop_reason"))
+        todo = c4_pre_clean(todo)
         extra = ("_c4_keep",)
     scored = score_pages(todo, gopher, model, extra_cols=extra)
     if c4:
-        scored = (scored.withColumn(
-            "reasons",
-            F.when(~F.col("_c4_keep"),
-                   F.array_sort(F.array_union(
-                       "reasons", F.array(F.lit("c4.page")))))
-            .otherwise(F.col("reasons")))
-            .withColumn("keep", F.col("keep") & F.col("_c4_keep"))
-            .drop("_c4_keep"))
+        scored = c4_merge_decision(scored)
     # prune columns NEITHER sink reads before materializing the cache —
     # the confidences map in particular is per-doc strings+doubles that
     # would be computed and cached for nothing (clean write needs

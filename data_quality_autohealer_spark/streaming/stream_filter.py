@@ -102,9 +102,19 @@ def stream_pages_from_kafka(spark: SparkSession, brokers: str,
     return decode_kafka_frame(raw)
 
 
-def scored_stream(pages_stream: DataFrame) -> DataFrame:
-    """Apply the identical batch scorer to a streaming frame."""
-    return score_pages(pages_stream)
+def scored_stream(pages_stream: DataFrame, c4: bool = False) -> DataFrame:
+    """Apply the identical batch scorer to a streaming frame. ``c4``
+    composes the same projection-only C4 pre-clean + decision merge as
+    ``run_filter(c4=True)`` — both stages are stateless projections, so
+    the streaming plan gains no state store and stream ≡ batch holds by
+    construction (asserted in tests/test_streaming.py)."""
+    if not c4:
+        return score_pages(pages_stream)
+    from ..plans.pipeline import c4_merge_decision, c4_pre_clean
+
+    scored = score_pages(c4_pre_clean(pages_stream),
+                         extra_cols=("_c4_keep",))
+    return c4_merge_decision(scored)
 
 
 def kept_writer(scored: DataFrame, out_path: str, checkpoint: str):

@@ -322,3 +322,52 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     # schema passes through unchanged (fp helper column dropped)
     assert got.columns == base.columns
     base.unpersist()
+
+
+def test_c4_stream_matches_batch(spark, tmp_path):
+    """The C4 pre-clean + decision merge are stateless projections, so
+    scored_stream(c4=True) ≡ the batch c4 composition on the same files
+    (incl. a lorem page dropped with reason c4.page in BOTH paths)."""
+    from data_quality_autohealer_spark.plans.pipeline import (
+        c4_merge_decision, c4_pre_clean,
+    )
+
+    src = str(tmp_path / "c4src")
+    out = str(tmp_path / "c4out")
+    ckpt = str(tmp_path / "c4ckpt")
+    pages = synth.gen_pages_df(spark, 300, num_partitions=2)
+    relined = (
+        "concat(substring(text, 1, 120), '.', chr(10), "
+        "substring(text, 121, 120), '.', chr(10), "
+        "substring(text, 241, 4000), '.')")
+    u_lorem = pages.select("url").limit(1).collect()[0]["url"]
+    pages = pages.withColumn(
+        "text",
+        F.when(F.col("url") == u_lorem,
+               F.expr(f"concat({relined}, chr(10), "
+                      f"'lorem ipsum dolor sit amet.')"))
+        .otherwise(F.expr(relined)))
+    pages.write.parquet(src)
+
+    stream = stream_filter.stream_pages_from_files(spark, src,
+                                                   max_files_per_trigger=2)
+    scored = stream_filter.scored_stream(stream, c4=True)
+    q = stream_filter.kept_writer(scored, out, ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    batch = c4_merge_decision(
+        score_pages(c4_pre_clean(spark.read.parquet(src)),
+                    extra_cols=("_c4_keep",)))
+    expected = batch.where("keep")
+    assert got.count() == expected.count() > 0
+    assert got.select("url").exceptAll(expected.select("url")).count() == 0
+    # the lorem page is dropped with the c4.page reason in the batch twin
+    # and is absent from the streaming output
+    lorem_row = batch.where(F.col("url") == u_lorem).collect()[0]
+    assert not lorem_row["keep"]
+    assert "c4.page" in list(lorem_row["reasons"])
+    assert got.where(F.col("url") == u_lorem).count() == 0
