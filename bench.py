@@ -96,6 +96,9 @@ HEADLINE = [
     "dsir_importance",
     "bpe_fertility_by_lang",
     "paragraph_dedup",
+    "classifier_calibration",
+    "rule_ablation",
+    "corpus_report",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
