@@ -1581,6 +1581,40 @@ _CHAIN_PARAMS = dict(k=8, rows_per_band=2, shingle_n=2, jaccard_n=3,
                      max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
 
 
+def _q_similarity_histogram(spark, sf_dir):
+    """Candidate-pair similarity histogram (the dedup THRESHOLD-TUNING
+    aid — Leskovec et al. MMDS ch.3 band-tuning practice): every LSH
+    candidate pair verified at threshold 0 and binned into 0.05-wide
+    Jaccard bins. Where the mass sits (and where the valley between
+    near-dup and chance overlap falls) is how the production threshold
+    is chosen. Cost ∝ candidates (never O(N²)); the census is one
+    algebraic groupBy over ≤21 bins."""
+    docs = _docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(
+        docs, k=_CHAIN_PARAMS["k"],
+        rows_per_band=_CHAIN_PARAMS["rows_per_band"],
+        shingle_n=_CHAIN_PARAMS["shingle_n"],
+        max_bucket_size=_CHAIN_PARAMS["max_bucket_size"])
+    pairs = dedup.jaccard_verify_pairs(
+        docs, cand, n=_CHAIN_PARAMS["jaccard_n"], threshold=0.0)
+    return (pairs.selectExpr(
+        "cast(floor(jaccard * cast(20 as double)) as bigint) as sim_bin")
+        .groupBy("sim_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+
+
+def _oracle_similarity_histogram() -> str:
+    chain = dedup.duckdb_lsh_jaccard_sql(
+        "documents", k=_CHAIN_PARAMS["k"],
+        rows_per_band=_CHAIN_PARAMS["rows_per_band"],
+        shingle_n=_CHAIN_PARAMS["shingle_n"],
+        jaccard_n=_CHAIN_PARAMS["jaccard_n"], threshold=0.0,
+        max_bucket_size=_CHAIN_PARAMS["max_bucket_size"])
+    return (f"select floor(jaccard * cast(20 as double))::bigint as "
+            f"sim_bin, count(*)::bigint as n_pairs from ({chain}) "
+            f"group by 1")
+
+
 def _q_lsh_jaccard_pairs(spark, sf_dir):
     # the LSH→Jaccard chain as ONE verified operator: candidates from
     # band buckets (capped), verified by exact 3-gram Jaccard — the 100 TB
@@ -2122,13 +2156,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "charset_quality": _q_charset_quality,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
-        "boilerplate_by_source": _q_boilerplate_by_source,
         "quality_classifier": _q_quality_classifier,
         "classifier_calibration": _q_classifier_calibration,
         "semantic_neardup": _q_semantic_neardup,
         "main_content_extract": _q_main_content_extract,
         "neardup_groups": _q_neardup_groups,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "similarity_histogram": _q_similarity_histogram,
         "pipeline_heuristic_decision": _q_pipeline_heuristic,
         "bpe_token_count": _q_bpe_token_count,
         "quality_strata": _q_quality_strata,
@@ -2165,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": _q_url_quality,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "pii_density_by_source": _q_pii_density_by_source,
+        "boilerplate_by_source": _q_boilerplate_by_source,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_signatures": _q_minhash,
         "doc_fingerprint": _q_fingerprint,
@@ -2415,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_calibration": _oracle_classifier_calibration(),
         "rule_ablation": _oracle_rule_ablation(),
         "corpus_report": _oracle_corpus_report(),
+        "similarity_histogram": _oracle_similarity_histogram(),
         "token_budget_sample": _oracle_token_budget_sample(),
         "canonical_dedup_groups": dedup.duckdb_canonical_dedup_sql(),
         "url_canonical_dedup": _oracle_url_canonical_dedup(),

@@ -32,7 +32,7 @@ SUBSET = [
     # round-6 continuation additions
     "c4_line_filter", "dsir_importance", "bpe_fertility_by_lang",
     "paragraph_dedup", "classifier_calibration", "rule_ablation",
-    "corpus_report",
+    "corpus_report", "similarity_histogram",
 ]
 
 
