@@ -362,7 +362,10 @@ def build_crawl_to_mix_dag() -> DAG:
 
     ctx in: spark, crawl_dir, warehouse_dir, out_dir; optional run_id,
     rates, default_rate, shards, num_buckets, synth_segments /
-    docs_per_segment (fabricate a deterministic crawl for sandbox runs).
+    docs_per_segment (fabricate a deterministic crawl for sandbox runs),
+    c4 (C4 line rules before scoring, reason c4.page), dsir_target
+    (DSIR importance gate on the export — SQL predicate naming the
+    target slice).
     Each task body is an already-tested CLI/operator; `jobs.*` imports are
     lazy (DAG files run from a checkout, like Airflow's own dagbag).
     """
@@ -383,7 +386,8 @@ def build_crawl_to_mix_dag() -> DAG:
     def filt(ctx):
         from .pipeline import run_filter
         return {"filter_summary": run_filter(
-            ctx["wh"], ctx.get("run_id", "dag-run"))}
+            ctx["wh"], ctx.get("run_id", "dag-run"),
+            c4=ctx.get("c4", False))}
 
     def dedup_task(ctx):
         from ..operators import dedup
@@ -401,7 +405,8 @@ def build_crawl_to_mix_dag() -> DAG:
         return {"export_summary": export_mix(
             ctx["spark"], ctx["deduped"], ctx["out_dir"],
             ctx.get("rates", {}), ctx.get("shards", 8),
-            default_rate=ctx.get("default_rate", 1.0))}
+            default_rate=ctx.get("default_rate", 1.0),
+            dsir_target=ctx.get("dsir_target"))}
 
     ingest_t = Task("ingest_warc", ingest)
     filter_t = Task("filter_quality", filt)

@@ -165,6 +165,34 @@ def test_crawl_to_mix_dag_executes_end_to_end(spark, tmp_path):
     assert ctx["notifications"][-1]["dag_id"] == "crawl_to_training_mix"
 
 
+def test_crawl_to_mix_dag_dsir_gate(spark, tmp_path):
+    """ctx['dsir_target'] threads the DSIR importance gate into the
+    export stage: the summary carries the gate block and the exported
+    set is the selected subset."""
+    from data_quality_autohealer_spark.plans.dags import (
+        build_crawl_to_mix_dag,
+    )
+
+    dag = build_crawl_to_mix_dag()
+    ctx = dag.run({
+        "spark": spark,
+        "crawl_dir": str(tmp_path / "crawl"),
+        "warehouse_dir": str(tmp_path / "wh"),
+        "out_dir": str(tmp_path / "mix"),
+        "synth_segments": 2,
+        "docs_per_segment": 150,
+        "num_buckets": 4,
+        "shards": 4,
+        "dsir_target": "lang = 'en'",
+    })
+    es = ctx["export_summary"]
+    assert es["dsir"]["target"] == "lang = 'en'"
+    assert 0 < es["dsir"]["docs_selected"] <= es["dsir"]["docs_in"]
+    assert es["docs_in"] == es["dsir"]["docs_selected"]
+    back = spark.read.json(str(tmp_path / "mix"))
+    assert back.count() == es["docs_out"]
+
+
 def test_incremental_crawl_dag_two_waves(spark, tmp_path):
     """Two crawl waves through the incremental DAG: wave 1 builds the
     signature index from nothing; wave 2 (a superset crawl re-containing
