@@ -152,9 +152,11 @@ def main(argv: list[str] | None = None) -> dict:
                        "docs_out": n_nxt, "removed": n_cur - n_nxt})
         cur.unpersist()
         cur, n_cur = nxt, n_nxt
-        # 2. line (doc count unchanged; rewrites text)
+        # 2. line (doc count unchanged; rewrites text; --unit paragraph
+        # swaps the grain)
         ld = dedup.line_dedup(cur, min_doc_count=args.min_line_docs,
-                              text_col="text", id_col="url").persist()
+                              text_col="text", id_col="url",
+                              unit=args.unit).persist()
         lines_dropped = int(ld.agg(
             F.sum("n_lines_dropped")).collect()[0][0] or 0)
         # LEFT join: null-text docs never enter line_dedup's output and
