@@ -399,6 +399,42 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = 8,
 DEFAULT_MAX_BUCKET = 1000
 
 
+def lsh_candidate_prob(s: float, rows_per_band: int, bands: int) -> float:
+    """P(two docs with Jaccard ``s`` share at least one band) — the
+    standard S-curve 1 − (1 − s^r)^b (Leskovec et al., MMDS ch.3)."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** bands
+
+
+def plan_lsh_bands(threshold: float, k: int = 8) -> dict:
+    """Pick (rows_per_band, bands) for a k-signature LSH at a target
+    Jaccard ``threshold``: among divisors r of k, minimize the distance
+    between the S-curve's steepest point (1/b)^(1/r) and the threshold.
+    Returns the plan plus the catch probability AT the threshold and the
+    false-candidate probability one notch (0.2) below — the two numbers
+    that justify a production (r, b) choice. Driver-side arithmetic only
+    (k is tiny); compose with :func:`minhash_lsh_pairs`."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        b = k // r
+        knee = (1.0 / b) ** (1.0 / r)
+        cand = {
+            "rows_per_band": r, "bands": b,
+            "knee": round(knee, 6),
+            "p_at_threshold": round(
+                lsh_candidate_prob(threshold, r, b), 6),
+            "p_below": round(
+                lsh_candidate_prob(max(threshold - 0.2, 0.0), r, b), 6),
+        }
+        if best is None or (abs(knee - threshold)
+                            < abs(best["knee"] - threshold)):
+            best = cand
+    return best
+
+
 def _stacked_buckets(df: DataFrame, text_col: str, id_col: str, k: int,
                      rows_per_band: int, shingle_n: int,
                      max_bucket_size: int | None) -> DataFrame:
