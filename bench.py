@@ -99,6 +99,7 @@ HEADLINE = [
     "classifier_calibration",
     "rule_ablation",
     "corpus_report",
+    "similarity_histogram",
 ]
 
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
