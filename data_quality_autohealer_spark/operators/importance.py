@@ -89,6 +89,32 @@ def hashed_ngram_counts(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _weights_from_counts(counts: DataFrame, flags: DataFrame,
+                         id_col: str, alpha: int) -> DataFrame:
+    """Weights from an existing (id, bucket, cnt) stack. Totals come from
+    an UNPARTITIONED window over the ≤N_BUCKETS-row census — trivially
+    one reducer on a tiny frame, and it avoids re-evaluating the census
+    subtree that a separate totals agg + cross-join would force (integer
+    sums, so order-independent and engine-exact either way)."""
+    pq = (counts.join(flags, id_col)
+          .groupBy("bucket")
+          .agg((F.lit(alpha) + F.sum(F.expr(
+                  "case when _is_t then cnt else 0 end"))).alias("p"),
+               (F.lit(alpha) + F.sum(F.expr(
+                  "case when _is_t then 0 else cnt end"))).alias("q")))
+    pq = pq.selectExpr(
+        "bucket", "p", "q",
+        "sum(p) over () as _T", "sum(q) over () as _R")
+    num = "(p * _R - q * _T)"
+    den = "(p * _R + q * _T)"
+    w = (f"cast(floor({_D.format(num)} / {_D.format(den)} * "
+         f"{_D.format(1000000)} + {_D.format('0.5')}) as bigint)")
+    w0 = (f"cast(floor({_D.format('(_R - _T)')} / "
+          f"{_D.format('(_R + _T)')} * {_D.format(1000000)} + "
+          f"{_D.format('0.5')}) as bigint)")
+    return pq.selectExpr("bucket", f"{w} as w_micro", f"{w0} as w0_micro")
+
+
 def dsir_weights(df: DataFrame, target_pred: str,
                  text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = N_BUCKETS,
@@ -100,22 +126,7 @@ def dsir_weights(df: DataFrame, target_pred: str,
     rows) is the unseen-bucket prior."""
     counts = hashed_ngram_counts(df, text_col, id_col, n_buckets)
     flags = df.selectExpr(id_col, f"({target_pred}) as _is_t")
-    pq = (counts.join(flags, id_col)
-          .groupBy("bucket")
-          .agg((F.lit(alpha) + F.sum(F.expr(
-                  "case when _is_t then cnt else 0 end"))).alias("p"),
-               (F.lit(alpha) + F.sum(F.expr(
-                  "case when _is_t then 0 else cnt end"))).alias("q")))
-    tot = pq.agg(F.sum("p").alias("_T"), F.sum("q").alias("_R"))
-    num = "(p * _R - q * _T)"
-    den = "(p * _R + q * _T)"
-    w = (f"cast(floor({_D.format(num)} / {_D.format(den)} * "
-         f"{_D.format(1000000)} + {_D.format('0.5')}) as bigint)")
-    w0 = (f"cast(floor({_D.format('(_R - _T)')} / "
-          f"{_D.format('(_R + _T)')} * {_D.format(1000000)} + "
-          f"{_D.format('0.5')}) as bigint)")
-    return (pq.crossJoin(F.broadcast(tot))
-            .selectExpr("bucket", f"{w} as w_micro", f"{w0} as w0_micro"))
+    return _weights_from_counts(counts, flags, id_col, alpha)
 
 
 def dsir_scores(df: DataFrame, target_pred: str,
@@ -132,17 +143,33 @@ def dsir_scores(df: DataFrame, target_pred: str,
     (normalized score > 0). Pass stored ``weights`` to score a NEW corpus
     against a previously-learned target (unseen buckets take the prior).
     """
-    if weights is None:
-        weights = dsir_weights(df, target_pred, text_col, id_col,
-                               n_buckets, alpha)
     counts = hashed_ngram_counts(df, text_col, id_col, n_buckets)
-    w0 = weights.select(F.max("w0_micro").alias("_w0"))
-    scored = (counts.join(F.broadcast(weights.select("bucket", "w_micro")),
-                          "bucket", "left")
-              .crossJoin(F.broadcast(w0))
-              .groupBy(id_col)
-              .agg(F.sum(F.expr("cnt * coalesce(w_micro, _w0)"))
-                   .alias("_s"),
+    if weights is None:
+        # in-corpus: share ONE feature stack between training and scoring
+        # (common lineage; Spark evaluates it per branch — at 100×
+        # persist(counts) first if the corpus scan dominates). Every
+        # scored bucket was observed in training BY CONSTRUCTION, so the
+        # unseen-bucket prior is unreachable and the w0 frame (whose max
+        # agg would re-evaluate the whole census subtree) is skipped.
+        flags = df.selectExpr(id_col, f"({target_pred}) as _is_t")
+        weights = _weights_from_counts(counts, flags, id_col, alpha)
+        joined = (counts.join(
+            F.broadcast(weights.select("bucket", "w_micro")),
+            "bucket", "left")
+            .selectExpr(id_col, "cnt",
+                        "coalesce(w_micro, 0) as _w"))
+    else:
+        # stored weights (a materialized table — the w0 scan is cheap):
+        # buckets the training corpus never saw take the smoothed prior
+        w0 = weights.select(F.max("w0_micro").alias("_w0"))
+        joined = (counts.join(
+            F.broadcast(weights.select("bucket", "w_micro")),
+            "bucket", "left")
+            .crossJoin(F.broadcast(w0))
+            .selectExpr(id_col, "cnt",
+                        "coalesce(w_micro, _w0) as _w"))
+    scored = (joined.groupBy(id_col)
+              .agg(F.sum(F.expr("cnt * _w")).alias("_s"),
                    F.sum("cnt").alias("_n")))
     per = (f"cast(floor(coalesce(_s, 0) / {_D.format('greatest(_n, 1)')} "
            f"+ {_D.format('0.5')}) as bigint)")
