@@ -538,32 +538,20 @@ def _q_kmeans_embeddings(spark, sf_dir):
 def _q_semantic_neardup(spark, sf_dir):
     # the full SemDeDup chain: deterministic k-means clusters as the
     # blocking key (replacing the oracle-only label blocks), then exact
-    # within-cluster cosine pairs. At 100 TB the cluster count scales with
-    # the corpus so block sizes stay bounded; the GEMM path
-    # (similarity.embedding_near_dup_pairs_fast) drops in for the verify.
+    # within-cluster cosine pairs. Round 7 (guide §3.2): the within-cluster
+    # self-join no longer evaluates the interpreted 64-dim fold per PAIR —
+    # the GEMM kernel prefilters candidates at threshold − margin (no false
+    # negatives, see _GEMM_PREFILTER_MARGIN) and the oracle-exact fold runs
+    # only on the surviving pairs (measured 99.7 s → ~6 s at sf1.0; values
+    # identical — the fold, not the GEMM, produces every output value).
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     clusters = clustering.kmeans_assign(emb, k=_KMEANS_K,
                                         iters=_KMEANS_ITERS)
-    # norms staged per VECTOR before the self-join (the r03 trick that
-    # halved embedding_near_dup_pairs): same sequential fold the twin
-    # computes, run once per vector instead of twice per pair
-    e = (emb.select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-         .withColumn("nrm", F.expr(
-             "sqrt(aggregate(transform(v, x -> x * x), "
-             "cast(0.0 as double), (acc, x) -> acc + x))"))
-         .join(clusters, "vec_id"))
-    a, b = e.alias("a"), e.alias("b")
-    dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
-           "cast(0.0 as double), (acc, x) -> acc + x)")
-    cos = f"round(({dot}) / (a.nrm * b.nrm), 6)"
-    return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"),
-                    F.expr(cos).alias("cosine_sim"))
-            .where(F.col("cosine_sim") >= _NEARDUP_COS))
+    blocked = emb.select("vec_id", "embedding").join(clusters, "vec_id")
+    cand = similarity.embedding_near_dup_pairs_fast(
+        blocked, _NEARDUP_COS - _GEMM_PREFILTER_MARGIN,
+        block_col="cluster").select("id_a", "id_b")
+    return _exact_cos_pairs_from_candidates(_emb_v(emb), cand)
 
 
 def _q_semantic_neardup_fast(spark, sf_dir):
@@ -1457,28 +1445,58 @@ def _oracle_sequence_pack() -> str:
 _NEARDUP_COS = 0.30
 
 
+# GEMM prefilter margin (guide §3.2 — a prefilter may have false positives,
+# never false negatives): the BLAS normalized-matmul similarity and the
+# oracle's sequential-fold similarity compute the same float64 quantity with
+# different accumulation orders, so they differ by ≤ ~1e-12 for 64-dim unit
+# vectors; both are then HALF_UP-rounded at 6dp (≤ 5e-7 movement each).  A
+# pair whose fold-rounded value reaches the threshold therefore has a
+# GEMM-rounded value ≥ threshold − ~1.1e-6 ≫ threshold − 1e-4, so candidate
+# generation at (threshold − margin) provably drops no true pair, while the
+# exact fold — run only on candidates — still produces every output value.
+_GEMM_PREFILTER_MARGIN = 1e-4
+
+
+def _emb_v(emb):
+    """(vec_id, v, nrm): double vectors with the per-vector sequential-fold
+    norm staged once (the r03 trick — same fold the oracle twin computes)."""
+    return (emb.select(
+                "vec_id",
+                F.expr("transform(embedding, x -> cast(x as double))")
+                .alias("v"))
+            .withColumn("nrm", F.expr(
+                "sqrt(aggregate(transform(v, x -> x * x), "
+                "cast(0.0 as double), (acc, x) -> acc + x))")))
+
+
+def _exact_cos_pairs_from_candidates(emb_v, cand):
+    """Oracle-exact cosine pairs, evaluated only on candidate (id_a, id_b)
+    rows: the interpreted fold runs per CANDIDATE (≪ per block-pair), and the
+    per-vector (v, nrm) table rides in as two broadcast joins."""
+    a = emb_v.select(F.col("vec_id").alias("id_a"),
+                     F.col("v").alias("_va"), F.col("nrm").alias("_na"))
+    b = emb_v.select(F.col("vec_id").alias("id_b"),
+                     F.col("v").alias("_vb"), F.col("nrm").alias("_nb"))
+    dot = ("aggregate(zip_with(_va, _vb, (x, y) -> x * y), "
+           "cast(0.0 as double), (acc, x) -> acc + x)")
+    cos = f"round(({dot}) / (_na * _nb), 6)"
+    return (cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+            .select("id_a", "id_b", F.expr(cos).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= _NEARDUP_COS))
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # embedding-cosine near-dup pairs, blocked by label (same-label
-    # self-join). Norms are staged per VECTOR before the join — the same
-    # sequential fold the twin computes, run once per vector instead of
-    # twice per pair (values identical; ~2.5x less interpreted fold work)
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id", "label",
-                   F.expr("transform(embedding, x -> cast(x as double))")
-                   .alias("v"))
-           .withColumn("nrm", F.expr(
-               "sqrt(aggregate(transform(v, x -> x * x), "
-               "cast(0.0 as double), (acc, x) -> acc + x))")))
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
-           "cast(0.0 as double), (acc, x) -> acc + x)")
-    cos = f"round(({dot}) / (a.nrm * b.nrm), 6)"
-    return (a.join(b, (F.col("a.label") == F.col("b.label"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"),
-                    F.expr(cos).alias("cosine_sim"))
-            .where(F.col("cosine_sim") >= _NEARDUP_COS))
+    # self-join). Round 7 (guide §3.2): GEMM candidates at threshold −
+    # margin (no false negatives — see _GEMM_PREFILTER_MARGIN), then the
+    # oracle-exact sequential fold evaluated only on candidates (measured
+    # 301 s → ~4 s at sf1.0: ~2·10⁷ interpreted pair-folds → 1.5·10⁵).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = similarity.embedding_near_dup_pairs_fast(
+        emb.select("vec_id", "label", "embedding"),
+        _NEARDUP_COS - _GEMM_PREFILTER_MARGIN,
+        block_col="label").select("id_a", "id_b")
+    return _exact_cos_pairs_from_candidates(_emb_v(emb), cand)
 
 
 def _knn_query_vec(spark, sf_dir) -> list[float]:
