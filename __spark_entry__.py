@@ -27,6 +27,7 @@ from data_quality_autohealer_spark.operators import (
     clustering, contamination, curation, dedup, profiler, repetition,
     sessions, similarity, skew, temporal,
 )
+from data_quality_autohealer_spark.operators import scoring
 from data_quality_autohealer_spark.operators.scoring import with_model_scores
 
 SF001 = "/root/testdata/sf0.001"
@@ -105,7 +106,7 @@ def _q_drop_summary(spark, sf_dir):
     # true by construction, text_heuristics.spark_reasons_expr) skips
     # materializing + sorting the reasons array and the 9 per-row
     # array_contains scans — measured 3.6 s → ~1.6 s at sf0.1.
-    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    df = scoring.with_signal_columns_batched(_docs(spark, sf_dir), "text")
     conds = th.spark_rule_conditions()
     codes = list(conds.keys())
     agg = df.agg(*[
@@ -126,7 +127,7 @@ def _q_rule_ablation(spark, sf_dir):
     Same conditional-aggregation shape as quality_drop_summary — no
     explode, map-side-combined fixed-width counters, ONE 1-row agg at
     any corpus size."""
-    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    df = scoring.with_signal_columns_batched(_docs(spark, sf_dir), "text")
     conds = th.spark_rule_conditions()
     codes = list(conds.keys())
     nf = None
@@ -888,8 +889,8 @@ def _q_classifier_calibration(spark, sf_dir):
     ntile window — so the census is ONE algebraic groupBy at any corpus
     size."""
     from data_quality_autohealer_spark.operators import distill
-    labeled = th.with_quality_signals(_docs(spark, sf_dir))
-    scored = distill.distill_quality_classifier(labeled)
+    labeled = scoring.with_quality_signals_batched(_docs(spark, sf_dir))
+    scored = distill.distill_quality_classifier_fast(labeled)
     return (scored.where("not is_train")
             .selectExpr(f"{_cal_bin('score_micro')} as score_bin",
                         "keep_heur")
@@ -1154,8 +1155,8 @@ def _q_ccnet_buckets(spark, sf_dir):
     cut-table scale twin is suite-tested."""
     from data_quality_autohealer_spark.operators import distill
     docs = _docs(spark, sf_dir)
-    labeled = th.with_quality_signals(docs)
-    scores = distill.distill_quality_classifier(labeled).select(
+    labeled = scoring.with_quality_signals_batched(docs)
+    scores = distill.distill_quality_classifier_fast(labeled).select(
         "doc_id", "score_micro")
     joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
     return curation.grouped_quality_strata(joined, "score_micro", "lang", 3)
@@ -1223,8 +1224,8 @@ def _q_dedup_keep_best(spark, sf_dir):
     engine-reproducible."""
     from data_quality_autohealer_spark.operators import distill
     docs = _docs(spark, sf_dir)
-    labeled = th.with_quality_signals(docs)
-    scores = distill.distill_quality_classifier(labeled).select(
+    labeled = scoring.with_quality_signals_batched(docs)
+    scores = distill.distill_quality_classifier_fast(labeled).select(
         "doc_id", "score_micro")
     groups = dedup.neardup_groups(docs.select("doc_id", "text"))
     return dedup.keep_best_representatives(groups, scores)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from . import curation, dedup
 
@@ -108,6 +109,36 @@ def score_documents(df: DataFrame, weights: DataFrame,
                         "coalesce(_s, 0) > 0 as keep_pred"))
 
 
+# per-worker trigram → bucket memo: the distinct-trigram universe of a
+# lowercased text corpus is tiny next to the occurrence stream, so each md5
+# is computed once per worker process, not once per occurrence.  Pure cache
+# (hash of the key alone), safe across tasks under worker reuse.
+_BUCKET_MEMO: dict[tuple[int, str], int] = {}
+
+
+def _bucket_of(g: str, n_buckets: int) -> int:
+    """Python twin of _bucket_expr: md5-prefix 60-bit hash mod n_buckets —
+    bit-identical to the Spark/DuckDB expression (same md5 of the UTF-8
+    bytes, same 15-hex-digit prefix, same positive modulus)."""
+    key = (n_buckets, g)
+    b = _BUCKET_MEMO.get(key)
+    if b is None:
+        import hashlib
+        b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                16) % n_buckets
+        _BUCKET_MEMO[key] = b
+    return b
+
+
+def _doc_trigram_counts(t: str) -> dict[str, int]:
+    """Counter of char-3-grams of the (already lowercased) text — the
+    Python twin of _trigrams_expr (code-point slicing, < 3 chars → none)."""
+    from collections import Counter
+    if len(t) < 3:
+        return {}
+    return Counter([t[i:i + 3] for i in range(len(t) - 2)])
+
+
 def distill_quality_classifier(labeled: DataFrame,
                                label_col: str = "keep",
                                text_col: str = "text",
@@ -117,7 +148,16 @@ def distill_quality_classifier(labeled: DataFrame,
                                salt: str = SALT,
                                train_frac: str = TRAIN_FRAC) -> DataFrame:
     """Train on the hash-fraction split, score EVERY doc. Returns
-    (id, score_micro, keep_pred, keep_heur, is_train)."""
+    (id, score_micro, keep_pred, keep_heur, is_train).
+
+    This is the LAZY, all-SQL shape: nothing runs until an action, and a
+    consumer that only counts rows lets Catalyst prune the whole trigram
+    stack (the registered ``quality_classifier`` projection query depends
+    on that).  Aggregation-shaped consumers that force every value
+    (calibration census, CCNet buckets, keep-best) should call
+    :func:`distill_quality_classifier_fast` — value-identical (asserted in
+    tests/test_distill.py) and ~10× cheaper when fully evaluated.
+    """
     frac = curation._hash_frac_sql(id_col, salt, "spark")
     staged = labeled.withColumn(
         "is_train", F.expr(f"{frac} < {_D.format(train_frac)}"))
@@ -128,6 +168,117 @@ def distill_quality_classifier(labeled: DataFrame,
     return (scores.join(
         staged.selectExpr(id_col, f"{label_col} as keep_heur", "is_train"),
         id_col))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's core count when the
+    input plan has fewer partitions (a single-row-group parquet file scans
+    as ONE task, serializing every Arrow pass behind one Python worker).
+    Scale-adaptive: derived from defaultParallelism, never a constant; a
+    big input that already carries ≥ cores partitions is left untouched."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def distill_quality_classifier_fast(labeled: DataFrame,
+                                    label_col: str = "keep",
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    n_buckets: int = N_BUCKETS,
+                                    alpha: int = ALPHA,
+                                    salt: str = SALT,
+                                    train_frac: str = TRAIN_FRAC
+                                    ) -> DataFrame:
+    """Value-identical twin of :func:`distill_quality_classifier` for
+    consumers that evaluate every score.
+
+    Round-7 shape (guide §2.3 "aggregate before you shuffle" + §4.2): the
+    JVM explode of ~300 trigrams/doc with one md5 per OCCURRENCE (measured
+    34 s per pass at sf1.0, and the old plan ran the stack once for train
+    and once for score) is replaced by two Arrow passes over a checkpointed
+    (id, lowered-text, label, is_train) frame:
+
+    - pass 1 emits PER-PARTITION partial (bucket, p, q) occurrence counts
+      over the train split (≤ n_buckets rows per partition — the shuffle
+      carries a few thousand rows instead of the 10⁷-row trigram stack),
+      and the weight formula runs unchanged in Spark SQL on the exact
+      integer sums;
+    - the ≤ n_buckets weight rows are collected (the bounded-fence rule the
+      k-means centroid loop already uses) and pass 2 computes each doc's
+      exact integer score in one closure — ZERO shuffles end to end.
+
+    Every arithmetic step is the same exact-integer computation as before
+    (md5-prefix buckets, occurrence counts, one IEEE division in SQL for
+    w_micro, order-independent integer score sums), so the output is
+    value-identical — asserted against the DuckDB twin by the driver's
+    hash gate and in tests/test_distill.py determinism tests.
+    """
+    frac = curation._hash_frac_sql(id_col, salt, "spark")
+    base = labeled.selectExpr(
+        id_col, f"{label_col} as _lab",
+        f"lower(coalesce({text_col}, '')) as _t").withColumn(
+        "is_train", F.expr(f"{frac} < {_D.format(train_frac)}"))
+    # one materialization feeds the train pass, the score pass and the
+    # echoed label columns (without it the upstream labeling plan — often a
+    # full signal computation — would re-run per consumer); spread first so
+    # the Python passes use every core
+    base = _spread(base).localCheckpoint(eager=True)
+
+    def _pq_partials(batches):
+        import pandas as pd
+        p = [0] * n_buckets
+        q = [0] * n_buckets
+        for pdf in batches:
+            for t, lab in zip(pdf["_t"].tolist(), pdf["_lab"].tolist()):
+                acc = p if lab else q
+                for g, c in _doc_trigram_counts(t).items():
+                    acc[_bucket_of(g, n_buckets)] += c
+        rows = [(b, p[b], q[b]) for b in range(n_buckets)
+                if p[b] or q[b]]
+        yield pd.DataFrame(rows, columns=["bucket", "p", "q"])
+
+    partials = base.where("is_train").select("_t", "_lab").mapInPandas(
+        _pq_partials, schema="bucket long, p long, q long")
+    pq = partials.groupBy("bucket").agg(
+        (F.lit(alpha) + F.sum("p")).alias("p"),
+        (F.lit(alpha) + F.sum("q")).alias("q"))
+    w = (f"cast(floor((p - q) / (p + q) * {_D.format(1000000)} "
+         f"+ {_D.format('0.5')}) as bigint)")
+    wrows = pq.selectExpr("bucket", f"{w} as w_micro").collect()
+    wmap = {int(r["bucket"]): int(r["w_micro"]) for r in wrows}
+
+    id_field = base.schema[id_col]
+    out_schema = StructType([
+        id_field,
+        StructField("score_micro", LongType()),
+        StructField("keep_pred", BooleanType()),
+        StructField("keep_heur", BooleanType()),
+        StructField("is_train", BooleanType()),
+    ])
+
+    def _score(batches):
+        import pandas as pd
+        for pdf in batches:
+            scores = []
+            for t in pdf["_t"].tolist():
+                s = 0
+                for g, c in _doc_trigram_counts(t).items():
+                    wb = wmap.get(_bucket_of(g, n_buckets))
+                    if wb is not None:
+                        s += c * wb
+                scores.append(s)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "score_micro": pd.Series(scores, dtype="int64"),
+                "keep_pred": [s > 0 for s in scores],
+                "keep_heur": pdf["_lab"].astype("bool"),
+                "is_train": pdf["is_train"].astype("bool"),
+            })
+
+    return base.mapInPandas(_score, schema=out_schema)
 
 
 def duckdb_distill_sql(labels_cte: str, label_col: str = "keep",

@@ -130,6 +130,49 @@ def heuristic_signal_batch(text: pd.Series, stopwords: tuple[str, ...]
 
 SCORE_FIELDS = [f.name for f in SCORE_SCHEMA.fields]
 
+SIGNAL_SCHEMA = StructType(SCORE_SCHEMA.fields[:8])
+
+
+@F.pandas_udf(returnType=SIGNAL_SCHEMA)
+def _signals_only(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    from ..functions.text_heuristics import DEFAULT_THRESHOLDS
+    for text in batches:
+        yield heuristic_signal_batch(text, DEFAULT_THRESHOLDS.stopwords)
+
+
+# nondeterministic for the same reason as score_and_scrub_udf: stop filter
+# pushdown from cloning the ArrowEvalPython node (guide §4.4)
+signal_udf = _signals_only.asNondeterministic()
+
+
+def with_signal_columns_batched(df: DataFrame,
+                                text_col: str = "text") -> DataFrame:
+    """The 8 Gopher signal columns via ONE Arrow crossing of
+    :func:`heuristic_signal_batch` — value-identical to
+    text_heuristics.with_signal_columns (asserted in
+    tests/test_signal_twins.py) but ~15× faster at sf1.0 (guide §4.2: the
+    native split/higher-order-function expressions run interpreted; the
+    batched Python pass tokenizes each doc once).  Used by the
+    aggregation-shaped signal queries where the signal cost dominates; the
+    native exprs remain for projection-shaped queries (their cost is pruned
+    away) and as the engine-paired oracle twins."""
+    from .distill import _spread
+    df = _spread(df).withColumn("_sig", signal_udf(F.col(text_col)))
+    for name in [f.name for f in SIGNAL_SCHEMA.fields]:
+        df = df.withColumn(name, F.col(f"_sig.{name}"))
+    return df.drop("_sig")
+
+
+def with_quality_signals_batched(df: DataFrame,
+                                 text_col: str = "text") -> DataFrame:
+    """Batched twin of text_heuristics.with_quality_signals: batched
+    signals + the SAME native rule conditions / reasons / keep on top."""
+    from ..functions import text_heuristics as th
+    df = with_signal_columns_batched(df, text_col)
+    reasons = th.spark_reasons_expr(th.spark_rule_conditions())
+    return df.withColumn("reasons", reasons).withColumn(
+        "keep", F.size("reasons") == 0)
+
 
 MODEL_FIELDS = ["lang_pred", "lang_conf", "log_pplx", "scrubbed_text",
                 "n_email", "n_ssn", "n_phone", "n_ip", "n_tox"]

@@ -298,12 +298,11 @@ def main(argv: list[str] | None = None) -> dict:
             # (clusters mix a clean page with boilerplate mirrors). The
             # classifier trains on the corpus's own heuristic keep/drop
             # labels — deterministic, no model artifact needed.
-            from data_quality_autohealer_spark.functions import (
-                text_heuristics as th,
+            from data_quality_autohealer_spark.operators import (
+                distill, scoring,
             )
-            from data_quality_autohealer_spark.operators import distill
-            scores = distill.distill_quality_classifier(
-                th.with_quality_signals(exact), id_col="url",
+            scores = distill.distill_quality_classifier_fast(
+                scoring.with_quality_signals_batched(exact), id_col="url",
             ).select("url", "score_micro")
             deduped = dedup.neardup_dedup_keep_best(
                 exact, scores, score_col="score_micro", **kwargs)

@@ -77,6 +77,32 @@ def test_null_and_short_text_scores_zero(spark):
         assert out[i]["score_micro"] == 0 and out[i]["keep_pred"] is False
 
 
+def test_fast_path_equals_lazy_sql_path(spark):
+    """distill_quality_classifier_fast (round-7 two-Arrow-pass shape) must
+    be value-identical to the lazy all-SQL twin on every column — the
+    contract that lets aggregation-shaped queries swap it in."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = th.with_quality_signals(docs, "text")
+    a = (distill.distill_quality_classifier(lab)
+         .orderBy("doc_id").toPandas())
+    b = (distill.distill_quality_classifier_fast(lab)
+         .orderBy("doc_id").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fast_path_null_and_short_text(spark):
+    df = spark.createDataFrame(
+        [(0, None, True), (1, "", False), (2, "ab", True),
+         (3, "a real document with words enough to carry trigrams", True),
+         (4, "another real training document with plenty of text", False)],
+        "doc_id long, text string, keep boolean")
+    out = {r["doc_id"]: r for r in
+           distill.distill_quality_classifier_fast(
+               df, train_frac="1.0").collect()}
+    for i in (0, 1, 2):
+        assert out[i]["score_micro"] == 0 and out[i]["keep_pred"] is False
+
+
 def test_weight_table_bounds(synth_labeled):
     w = distill.train_polarity_weights(
         synth_labeled, id_col="doc_id").toPandas()
