@@ -167,10 +167,16 @@ def dup_substring_spans(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql.window import Window
 
+    from .dedup import _spread, hashed_ngrams_batched_udf
+
     df = df.where(F.expr(f"trim(coalesce({text_col}, '')) != ''"))
-    staged = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
-              .withColumn("_hs", F.expr(
-                  _hashed_seq(text_col, k, "spark", words_col="_w"))))
+    # round 7: positional window hashes via the batched md5 twin (one Arrow
+    # crossing; value-identical, tests/test_dedup_batched_twins.py) instead
+    # of one interpreted md5 expression per window occurrence
+    staged = (_spread(df)
+              .withColumn("_w", F.expr(_words(text_col, "spark")))
+              .withColumn("_hs", hashed_ngrams_batched_udf(
+                  k, distinct=False)(F.col(text_col))))
     # posexplode_OUTER + null guard: plain explode triggers
     # InferFiltersFromGenerate's inlined size()>0 filter (the CLAUDE.md
     # blow-up); _hs always has ≥ 1 element so outer ≡ inner

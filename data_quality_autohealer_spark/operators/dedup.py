@@ -23,6 +23,9 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +118,128 @@ def minhash_sig_exprs(text: str, k: int, n: int, engine: str,
     document, not per signature)."""
     hg = hashed_col or _hashed_ngrams(text, n, engine)
     return [f"{_affine_min(hg, i, engine)} as sig_{i}" for i in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# batched (Arrow) twins of the hashed-shingle builders — round 7, guide §4.2.
+#
+# The native expression chain (regex split → transform-concat shingles → one
+# md5 + conv PER SHINGLE OCCURRENCE) runs interpreted and dominated every
+# chain query at sf1.0 (~7 s per pass, and most chains run it 2-3×).  These
+# compute the identical values in one Arrow crossing: same ASCII-whitespace
+# tokenizer (the signal-twin split, tests/test_signal_twins.py), same
+# " "-joined shingles with the <n-words whole-text convention, same
+# md5-prefix 60-bit hash (memoized per distinct shingle per worker), same
+# distinct-after-hash first-occurrence order.  Parity is pinned by
+# tests/test_dedup_batched_twins.py and by every chain query's DuckDB hash.
+# ---------------------------------------------------------------------------
+
+_PY_HASH_MEMO: dict[str, int] = {}
+_PY_HASH_MEMO_CAP = 2_000_000  # stop growing on mostly-unique gram streams
+
+
+def _py_hash_base(g: str) -> int:
+    """Python twin of _hash_base: 60-bit md5-prefix int."""
+    h = _PY_HASH_MEMO.get(g)
+    if h is None:
+        import hashlib
+        h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_PY_HASH_MEMO) < _PY_HASH_MEMO_CAP:
+            _PY_HASH_MEMO[g] = h
+    return h
+
+
+def _py_words(t: str | None) -> list[str]:
+    """Python twin of _words('…', 'spark'): strip ASCII whitespace, split
+    on ASCII-whitespace runs ('' stays [''], matching Java split)."""
+    import re
+    from ..functions.text_heuristics import _WS_CHARS
+    ws_re = getattr(_py_words, "_re", None)
+    if ws_re is None:
+        ws_re = re.compile("[" + _WS_CHARS + "]+")
+        _py_words._re = ws_re
+    return ws_re.split((t or "").strip(_WS_CHARS))
+
+
+def _py_gram_hashes(t: str | None, n: int, distinct: bool) -> list[int]:
+    """Python twin of _hashed_ngrams (distinct=True) / the _hashed_seq
+    positional variant (distinct=False)."""
+    w = _py_words(t)
+    if len(w) < n:
+        grams = [" ".join(w)]
+    else:
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+    if not distinct:
+        return [_py_hash_base(g) for g in grams]
+    seen: set[int] = set()
+    out: list[int] = []
+    for g in grams:
+        h = _py_hash_base(g)
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return out
+
+
+def hashed_ngrams_batched_udf(n: int, distinct: bool = True):
+    """pandas UDF: text → array<long> of hashed word n-grams."""
+
+    @F.pandas_udf("array<long>")
+    def _hg(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for text in batches:
+            yield pd.Series(
+                [_py_gram_hashes(t, n, distinct) for t in text],
+                index=text.index)
+
+    # nondeterministic: stop filter pushdown from cloning the Arrow node
+    # (guide §4.4) — chain consumers always force every row anyway
+    return _hg.asNondeterministic()
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's core count when the
+    input plan has fewer partitions (a single-row-group parquet file scans
+    as ONE task, serializing Arrow passes behind one Python worker).
+    Scale-adaptive — derived from defaultParallelism, never a constant;
+    inputs already at ≥ cores partitions pass through untouched."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_minhash_batched(df: DataFrame, text_col: str = "text", k: int = 8,
+                         shingle_n: int = 3) -> DataFrame:
+    """Batched twin of :func:`with_minhash`: shingle hashing AND the k
+    affine-min signatures in one Arrow crossing (exact int64 arithmetic —
+    a·(h mod 2³⁰)+b < 2⁵¹ never overflows), instead of one interpreted md5
+    per shingle plus k interpreted array-min scans per doc.  Signature
+    values are identical (tests/test_dedup_batched_twins.py); the lazy
+    native version stays for the projection-shaped minhash_signatures
+    query, whose cost count() prunes away."""
+    import numpy as np
+
+    a_vec = np.array([_MH_A + 2 * i for i in range(k)], dtype=np.int64)
+    b_vec = np.array([_MH_B * (i + 1) for i in range(k)], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for text in batches:
+            out = []
+            for t in text:
+                hs = np.array(_py_gram_hashes(t, shingle_n, True),
+                              dtype=np.int64) % _MH_MOD
+                sigs = (a_vec[:, None] * hs[None, :]
+                        + b_vec[:, None]) % _MH_PRIME
+                out.append(sigs.min(axis=1).tolist())
+            yield pd.Series(out, index=text.index)
+
+    df = _spread(df).withColumn(
+        "_sigarr", _sigs.asNondeterministic()(F.col(text_col)))
+    for i in range(k):
+        df = df.withColumn(f"sig_{i}", F.col("_sigarr")[i])
+    return df.drop("_sigarr")
 
 
 def band_exprs(k: int, rows_per_band: int, engine: str) -> list[str]:
@@ -445,7 +570,8 @@ def _stacked_buckets(df: DataFrame, text_col: str, id_col: str, k: int,
     """
     from pyspark.sql.window import Window
 
-    sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
+    sig = with_minhash_batched(df.select(id_col, text_col), text_col, k,
+                               shingle_n)
     n_bands = k // rows_per_band
     banded = sig.selectExpr(id_col, *band_exprs(k, rows_per_band, "spark"))
     stacked = banded.select(
@@ -538,10 +664,9 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
     Scale shape: |candidates| ≪ |docs|², two shuffle joins on the id — the
     verify cost is proportional to the candidate count, never quadratic.
     """
-    ng = (df.withColumn("_w", F.expr(_words(text_col, "spark")))
-          .selectExpr(id_col,
-                      f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')}"
-                      f" as ngrams"))
+    ng = _spread(df).select(
+        F.col(id_col),
+        hashed_ngrams_batched_udf(n)(F.col(text_col)).alias("ngrams"))
     a = ng.select(F.col(id_col).alias("id_a"), F.col("ngrams").alias("_ng_a"))
     b = ng.select(F.col(id_col).alias("id_b"), F.col("ngrams").alias("_ng_b"))
     # stage the intersection SIZE as a column referenced twice (numerator +
@@ -587,11 +712,10 @@ def cross_corpus_neardup(new_df: DataFrame, ref_df: DataFrame,
             .distinct())
 
     def _ngrams(df, out_id):
-        return (df.withColumn("_w", F.expr(_words(text_col, "spark")))
-                .selectExpr(
-                    f"{id_col} as {out_id}",
-                    f"{_hashed_ngrams(text_col, jaccard_n, 'spark', words_col='_w')}"
-                    f" as _ng_{out_id}"))
+        return _spread(df).select(
+            F.col(id_col).alias(out_id),
+            hashed_ngrams_batched_udf(jaccard_n)(F.col(text_col))
+            .alias(f"_ng_{out_id}"))
 
     sized = (cand.join(_ngrams(new_df, "new_id"), "new_id")
              .join(_ngrams(ref_df, "ref_id"), "ref_id")
@@ -679,18 +803,19 @@ def build_signature_index(df: DataFrame, text_col: str = "text",
     is applied at query time over the exploded index (same window-count
     construction as _stacked_buckets, same semantics)."""
     n_bands = k // rows_per_band
-    sig = with_minhash(df.select(id_col, text_col), text_col, k, shingle_n)
+    sig = with_minhash_batched(df.select(id_col, text_col), text_col, k,
+                               shingle_n)
     banded = sig.selectExpr(id_col, text_col,
                             *band_exprs(k, rows_per_band, "spark"))
-    ngrams = (f"{_hashed_ngrams(text_col, jaccard_n, 'spark', words_col='_w')}"
-              f" as ngrams")
-    return (banded.withColumn("_w", F.expr(_words(text_col, "spark")))
+    return (banded.withColumn(
+                "ngrams",
+                hashed_ngrams_batched_udf(jaccard_n)(F.col(text_col)))
             .selectExpr(
                 id_col,
                 "array(" + ", ".join(
                     f"concat('{b}:', band_{b})" for b in range(n_bands))
                 + ") as buckets",
-                ngrams))
+                "ngrams"))
 
 
 SIG_PARAMS_FILE = "_sig_params.json"
@@ -810,11 +935,10 @@ def neardup_against_index(new_df: DataFrame, index_df: DataFrame,
             .select(F.col(f"n.{id_col}").alias("new_id"),
                     F.col(f"r.{id_col}").alias("ref_id"))
             .distinct())
-    new_ng = (new_df.withColumn("_w", F.expr(_words(text_col, "spark")))
-              .selectExpr(
-                  f"{id_col} as new_id",
-                  f"{_hashed_ngrams(text_col, jaccard_n, 'spark', words_col='_w')}"
-                  f" as _ng_new"))
+    new_ng = _spread(new_df).select(
+        F.col(id_col).alias("new_id"),
+        hashed_ngrams_batched_udf(jaccard_n)(F.col(text_col))
+        .alias("_ng_new"))
     ref_ng = index_df.select(F.col(id_col).alias("ref_id"),
                              F.col("ngrams").alias("_ng_ref"))
     sized = (cand.join(new_ng, "new_id").join(ref_ng, "ref_id")
@@ -866,13 +990,28 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    # materialize the edge list ONCE with truncated lineage — every round
-    # joins against it, and without this each round would re-run the whole
-    # upstream plan (e.g. the LSH+Jaccard chain) from scratch
+    # materialize the PAIR list first, then build the symmetric edge list
+    # from the materialized blocks — unioning two projections of the
+    # un-checkpointed input evaluated the whole upstream plan (e.g. the
+    # LSH+Jaccard chain) TWICE (round 7; measured ~5 s of the sf1.0
+    # neardup_groups query). Every round then joins against edges with
+    # truncated lineage as before.
+    pairs0 = _ckpt(pairs.select("id_a", "id_b"))
     edges = _ckpt(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"),
-                            F.col("id_a").alias("dst"))))
+        pairs0.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs0.select(F.col("id_b").alias("src"),
+                             F.col("id_a").alias("dst"))))
+    # adapt the iteration's parallelism to the MATERIALIZED edge count
+    # (guide §2.2: near-dup edge lists are usually ≪ corpus — at sf1.0 the
+    # chain yields ~5k edges, and running every round's joins over 32
+    # shuffle partitions cost more in task scheduling than in work,
+    # measured ~6 s of a 12 s query). The count scans checkpointed blocks
+    # (cheap); the partition count scales back up with real edge volume.
+    n_edges = edges.count()
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism, n_edges // 100_000 + 1))
+    if parts < parallelism:
+        edges = _ckpt(edges.repartition(parts, "src"))
     labels = _ckpt(edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("comp", F.col("id")))
     converged = False
@@ -1132,11 +1271,9 @@ def exploded_ngram_hashes(df: DataFrame, text_col: str = "text",
     element (the CLAUDE.md 16× gotcha, measured 13.3 s vs 2.2 s for this
     explode at sf0.1). The rule skips outer generates; _ngrams_raw
     yields ≥1 shingle per doc, so outer ≡ inner (null guard kept)."""
-    return (df.withColumn("_w", F.expr(_words(text_col, "spark")))
-            .selectExpr(
-                id_col,
-                f"{_hashed_ngrams(text_col, n, 'spark', words_col='_w')}"
-                f" as _hg")
+    return (_spread(df).select(
+                F.col(id_col),
+                hashed_ngrams_batched_udf(n)(F.col(text_col)).alias("_hg"))
             .select(F.col(id_col), F.explode_outer("_hg").alias("h"))
             .where(F.col("h").isNotNull()))
 

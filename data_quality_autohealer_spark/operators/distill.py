@@ -170,17 +170,7 @@ def distill_quality_classifier(labeled: DataFrame,
         id_col))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's core count when the
-    input plan has fewer partitions (a single-row-group parquet file scans
-    as ONE task, serializing every Arrow pass behind one Python worker).
-    Scale-adaptive: derived from defaultParallelism, never a constant; a
-    big input that already carries ≥ cores partitions is left untouched."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+_spread = dedup._spread  # shared scale-adaptive repartition (see dedup.py)
 
 
 def distill_quality_classifier_fast(labeled: DataFrame,
