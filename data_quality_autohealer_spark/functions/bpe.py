@@ -88,22 +88,87 @@ def _merge_pattern(left: str, right: str) -> tuple[str, str]:
     return f"|{left}||{right}|", f"|{left}{right}|"
 
 
+# word-census sizes up to this collect to the driver for the in-memory
+# canonical trainer (a census row is a short word + a count — 2M rows is a
+# few tens of MB, the bounded-fence rule); larger vocabularies keep the
+# fully distributed loop
+DRIVER_CENSUS_MAX = 200_000
+
+
+def _train_merges_driver(words: dict[str, int],
+                         num_merges: int) -> list[dict]:
+    """Canonical in-memory BPE over a (word → freq) census — the same
+    overlapping pair counts, (freq desc, lhs asc, rhs asc) argmax and
+    left-to-right non-overlapping merge application as the distributed
+    loop (ASCII string ordering is identical in Python and Spark), so the
+    merge list is byte-identical (tests/test_bpe.py)."""
+    from collections import Counter
+
+    vocab = {w: tuple(w) + (END_WORD,) for w in words}
+    merges: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        counts: Counter = Counter()
+        for w, f in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges; "
+                f"num_merges={num_merges} needs a larger corpus")
+        (left, right), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append({"merge_rank": rank, "lhs": left, "rhs": right,
+                       "merged": left + right, "freq": int(f)})
+        for w, syms in vocab.items():
+            if left not in syms:
+                continue
+            new, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(new)
+    return merges
+
+
 def train_bpe_merges(df: DataFrame, text_col: str = "text",
                      num_merges: int = DEFAULT_MERGES,
-                     min_freq: int = 1) -> list[dict]:
+                     min_freq: int = 1,
+                     census_driver_max: int = DRIVER_CENSUS_MAX
+                     ) -> list[dict]:
     """Train ``num_merges`` BPE merges; returns
     ``[{"merge_rank", "lhs", "rhs", "merged", "freq"}, ...]``.
 
-    Each round: stage the symbol array, posexplode adjacent pairs, one
-    partial-aggregated groupBy over the census, argmax by
-    (freq desc, lhs asc, rhs asc) — a 1-row collect — then one literal
+    Round 7 (guide §1.2 — fix the distributed algorithm first): the word
+    census is tiny next to the corpus (distinct lowercase words), so when
+    it fits ``census_driver_max`` rows it is collected ONCE and the merge
+    loop runs in memory — num_merges Spark jobs collapse into one
+    aggregation job. Byte-identical merges to the distributed loop
+    (asserted in tests/test_bpe.py); the distributed path below remains
+    for larger vocabularies and stays the documented oracle twin.
+
+    Distributed path, each round: stage the symbol array, posexplode
+    adjacent pairs, one partial-aggregated groupBy over the census, argmax
+    by (freq desc, lhs asc, rhs asc) — a 1-row collect — then one literal
     replace appended to the census's repr lineage. Raises if the corpus
     runs out of mergeable pairs before ``num_merges`` (the fixed-depth
     DuckDB oracle twin cannot terminate early, so neither may we)."""
     census = (word_census(df, text_col, min_freq)
               .withColumn("repr", _initial_repr_expr("word"))
               .persist())
-    census.count()
+    n_census = census.count()
+    if n_census <= census_driver_max:
+        try:
+            rows = census.select("word", "freq").collect()
+        finally:
+            census.unpersist()
+        return _train_merges_driver(
+            {r["word"]: int(r["freq"]) for r in rows}, num_merges)
     merges: list[dict] = []
     try:
         cur = census

@@ -76,6 +76,16 @@ def corpus_df(spark):
                                  "doc_id long, text string")
 
 
+def test_driver_fast_path_equals_distributed_loop(corpus_df):
+    """The round-7 collected-census trainer must emit byte-identical
+    merges to the distributed per-round loop (census_driver_max=0 forces
+    the distributed path)."""
+    fast = bpe.train_bpe_merges(corpus_df, num_merges=R)
+    dist = bpe.train_bpe_merges(corpus_df, num_merges=R,
+                                census_driver_max=0)
+    assert fast == dist
+
+
 def test_spark_trainer_matches_canonical_bpe(corpus_df):
     ref_merges, _ = _ref_train(TEXTS, R)
     assert bpe.train_bpe_merges(corpus_df, num_merges=R) == ref_merges
