@@ -103,6 +103,48 @@ def _assign_gemm(pts: DataFrame, cents: list[list[float]]) -> DataFrame:
     return pts.withColumn("cluster", _argmin(F.col("_v")))
 
 
+# GEMM-vs-fold distance discrepancy is ≤ ~1e-12 for unit-scale 64-dim
+# vectors (different float64 accumulation orders of the same quantity); a
+# best-vs-runner-up gap above this margin proves the fold argmin equals the
+# GEMM argmin, so the interpreted folds only ever run on the rare ambiguous
+# rows (guide §3.2 logic applied to argmin: the fast path may defer, never
+# decide, a boundary case)
+_GEMM_ARGMIN_MARGIN = 1e-6
+
+
+def _assign_exact_checked(pts: DataFrame,
+                          cents: list[list[float]]) -> DataFrame:
+    """Exact-fold-equivalent assignment at GEMM speed: one BLAS pass per
+    batch yields each row's argmin AND its best-vs-second-best distance
+    gap; rows with a gap below :data:`_GEMM_ARGMIN_MARGIN` — where float64
+    accumulation order could in principle flip the winner — are re-assigned
+    by the interpreted sequential-fold path (:func:`_assign`, the oracle
+    semantics), everything else keeps the GEMM winner. np.argmin and the
+    fold case-chain both break ties toward the lowest cluster index."""
+    c = np.asarray(cents, dtype=np.float64)
+    cn = (c * c).sum(axis=1)
+
+    @F.pandas_udf("struct<cluster: int, margin: double>")
+    def _argmin_margin(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in batches:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            d = ((m * m).sum(axis=1)[:, None]
+                 - 2.0 * (m @ c.T) + cn[None, :])
+            best = d.argmin(axis=1)
+            part = np.partition(d, 1, axis=1)
+            yield pd.DataFrame({
+                "cluster": best.astype("int32"),
+                "margin": part[:, 1] - part[:, 0]})
+
+    scored = pts.withColumn(
+        "_cm", _argmin_margin.asNondeterministic()(F.col("_v")))
+    sure = (scored.where(F.col("_cm.margin") >= _GEMM_ARGMIN_MARGIN)
+            .select(*pts.columns, F.col("_cm.cluster").alias("cluster")))
+    ambiguous = scored.where(
+        F.col("_cm.margin") < _GEMM_ARGMIN_MARGIN).drop("_cm")
+    return sure.unionByName(_assign(ambiguous, cents))
+
+
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id", gemm: bool = False) -> DataFrame:
@@ -115,7 +157,7 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     bit-identical while assignments agree), ~10× less interpreter work per
     row — the production path; the fold path remains the oracle twin.
     """
-    assign = _assign_gemm if gemm else _assign
+    assign = _assign_gemm if gemm else _assign_exact_checked
     pts = df.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"))

@@ -1198,14 +1198,55 @@ def duckdb_neardup_groups_sql(table: str = "documents",
 SIMHASH_BITS = 16
 
 
+_PY_HASH16_MEMO: dict[str, int] = {}
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint (16-bit, md5-derived word hashes → SQL-twin-able).
 
-    explode(words) → per-(doc, word) ±1 bit contributions → groupBy(doc) sums
-    → sign-pack. Algebraic aggregation ⇒ map-side combine; the shuffle carries
-    one row per (doc, word occurrence) of ~20 bytes.
+    Round 7 (guide §4.2): the whole fingerprint — tokenize, 16-bit md5
+    word hash (memoized per distinct word per worker), ±1 bit sums,
+    sign-pack — is one Arrow crossing per doc batch instead of an
+    explode(words) → md5-per-occurrence → 16-conditional-sum groupBy
+    (which shuffled one row per word occurrence). Pure integer
+    arithmetic, so values are identical — pinned against the native
+    aggregation twin in tests/test_dedup_batched_twins.py and by the
+    query's DuckDB hash; the shuffle disappears outright.
     """
+    import numpy as np
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def _fp_of(t: str | None) -> int:
+        words = _py_words(t)
+        hs = np.empty(len(words), dtype=np.int64)
+        for j, w in enumerate(words):
+            h = _PY_HASH16_MEMO.get(w)
+            if h is None:
+                import hashlib
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:4], 16)
+                if len(_PY_HASH16_MEMO) < _PY_HASH_MEMO_CAP:
+                    _PY_HASH16_MEMO[w] = h
+            hs[j] = h
+        bits = (((hs[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(axis=0)
+        return int(((bits > 0).astype(np.int64) << bit_idx).sum())
+
+    @F.pandas_udf("int")
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for text in batches:
+            yield pd.Series([_fp_of(t) for t in text],
+                            index=text.index, dtype="int32")
+
+    return _spread(df).select(
+        F.col(id_col),
+        _simhash.asNondeterministic()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_native(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The original explode → groupBy aggregation twin (kept as the
+    engine-paired reference for the batched path's parity test)."""
     # explode_outer: blocks InferFiltersFromGenerate's size()>0 filter,
     # which would re-run the split once more per row (linear here — not
     # the lambda blow-up ngram_novelty/winnow hit — but free to avoid);

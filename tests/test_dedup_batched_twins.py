@@ -60,6 +60,15 @@ def test_hashed_seq_batched_matches_native(spark):
                 assert list(a) == list(b)
 
 
+def test_simhash_batched_matches_native(spark):
+    for df in (_edge_df(spark), _docs(spark)):
+        a = (dedup.simhash_native(df).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (dedup.simhash(df).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_minhash_batched_matches_native(spark):
     for df in (_edge_df(spark), _docs(spark)):
         native = (dedup.with_minhash(df, "text", k=8, shingle_n=2)
