@@ -184,6 +184,10 @@ def dup_substring_spans(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.size("_w").alias("_nw"),
         F.posexplode_outer("_hs").alias("pos", "h"))
         .where(F.col("h").isNotNull()))
+    # pos feeds BOTH the census and the join-back — materialize it once
+    # (id + pos + 8-byte hash per window, never window text) instead of
+    # re-running the tokenize+hash pass per consumer (round 7)
+    pos = pos.localCheckpoint(eager=True)
     dup = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
            .where(F.col("_c") >= min_count).select("h"))
     dp = pos.join(dup, "h")
