@@ -2112,7 +2112,11 @@ def _q_quality_strata_approx(spark, sf_dir):
     # ntile window, no single-partition sort (the exact quality_strata
     # query stays registered as the oracle twin)
     from data_quality_autohealer_spark.operators import curation
-    df = th.with_signal_columns(_docs(spark, sf_dir), "text")
+    # stage (id, word_count) once — the approx path scans its input twice
+    # (cut points, then the census), and re-deriving word_count from text
+    # per pass doubled the query (round 7)
+    df = (th.with_signal_columns(_docs(spark, sf_dir), "text")
+          .select("doc_id", "word_count").localCheckpoint(eager=True))
     return curation.quality_strata(df, "word_count", n_tiles=4,
                                    exact_ntile=False)
 

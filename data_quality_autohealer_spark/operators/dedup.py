@@ -1447,27 +1447,31 @@ def ngram_novelty_vs_census(new_df: DataFrame, census_df: DataFrame,
     Shuffle shape: wave hashes census (map-side combine), left join to
     the stored census on the 8-byte hash, join back, per-doc agg — the
     accumulated corpus never moves."""
-    g = exploded_ngram_hashes(new_df, text_col, id_col, n)
-    wave = g.groupBy("h").agg(F.count(F.lit(1)).alias("_wdf"))
-    # re-aggregate the stored census by hash FIRST (review finding): a
-    # census appended wave-by-wave to one table has duplicate h rows —
-    # joining it raw would fan out and silently inflate n_ngrams; the
-    # sum makes appended multi-wave storage correct by construction
-    merged = (census_df.select("h", "df_count")
-              .groupBy("h").agg(F.sum("df_count").alias("_sdf")))
-    comb = (wave.join(merged, "h", "left")
-            .select("h", (F.col("_wdf")
-                          + F.coalesce(F.col("_sdf"), F.lit(0)))
-                    .alias("_df")))
-    return (g.join(comb, "h")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
-                 F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
-                 .cast("long").alias("_novel"))
+    # Round-7 shape (same as ngram_novelty): combined frequency 1 means
+    # wave frequency 1 AND absent from the stored census, and a
+    # wave-singleton hash belongs to exactly one doc (min id), so the
+    # novel count is a groupBy over census-anti-joined singleton hashes —
+    # no join-back over every (doc, hash) row.  Duplicate census h rows
+    # (wave-appended storage) are harmless to the anti join by definition.
+    hg = (_spread(new_df).select(
+            F.col(id_col),
+            hashed_ngrams_batched_udf(n)(F.col(text_col)).alias("_hg"))
+          .localCheckpoint(eager=True))
+    singles = (hg.select(F.col(id_col), F.explode("_hg").alias("h"))
+               .groupBy("h")
+               .agg(F.count(F.lit(1)).alias("_wdf"),
+                    F.min(id_col).alias(id_col))
+               .where("_wdf = 1")
+               .join(census_df.select("h"), "h", "left_anti")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("_novel")))
+    per_doc = hg.select(F.col(id_col),
+                        F.size("_hg").cast("long").alias("n_ngrams"))
+    return (per_doc.join(singles, id_col, "left")
             .select(
                 F.col(id_col),
                 F.col("n_ngrams"),
-                F.round(F.col("_novel").cast("double")
+                F.round(F.coalesce(F.col("_novel"), F.lit(0)).cast("double")
                         / F.col("n_ngrams"), 6).alias("novel_frac")))
 
 

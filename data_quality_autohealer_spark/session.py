@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE flip a sort-merge join to broadcast from MEASURED shuffle
+        # sizes (guide §3.1): static estimates for UDF-produced sides (e.g.
+        # hashed-shingle arrays) are wildly wrong, so the static threshold
+        # stays at its default while the runtime one — which only fires on
+        # real sizes — covers dimension-sized sides up to 64 MB (well under
+        # executor memory on any sane cluster; override via extra_conf)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AQE_BROADCAST", "64m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
