@@ -349,9 +349,11 @@ def temperature_mix_allocation(df: DataFrame, total_budget: int,
     Allocations floor-divide, so up to n_strata-1 tokens of the budget
     stay unallocated — callers wanting exhaustion give the remainder to
     their largest stratum. ``total_budget * max(s_micro)`` must stay
-    below 2^63 (s_micro ≈ sqrt(tokens)·scale; at 1e12 tokens/stratum and
-    the default scale that bounds budget at ~9e6 × 1e... callers with
-    planet-scale budgets drop ``scale`` to 1e3).
+    below 2^63, i.e. budget below ~9.2e18 / (sqrt(max stratum tokens) ·
+    scale): s_micro ≈ sqrt(tokens)·scale, so at 1e12 tokens/stratum and
+    the default scale=1e6 the budget is bounded at ~9.2e6; callers with
+    planet-scale budgets drop ``scale`` to 1e3 (bound ~9.2e9) or pre-
+    divide the budget.
 
     Scale shape: one agg to strata cardinality (dozens of languages /
     thousands of domains), then an unpartitioned window over that tiny

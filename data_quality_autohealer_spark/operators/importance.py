@@ -222,7 +222,21 @@ def load_weights(spark, path: str, n_buckets: int = N_BUCKETS,
         raise ValueError(
             f"DSIR weights at {path} were trained with {got}, caller "
             f"expects {want} — scores would be silently wrong")
-    return spark.read.parquet(path)
+    weights = spark.read.parquet(path)
+    # validate the TABLE, not just the sidecar (ADVICE r06): an empty
+    # table scores every doc 0/not-selected and duplicate bucket rows
+    # double-count features in the scoring join — both silent
+    from pyspark.sql import functions as F
+    chk = weights.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("bucket").alias("nb")).collect()[0]
+    if int(chk["n"]) == 0 or int(chk["n"]) != int(chk["nb"]):
+        raise ValueError(
+            f"DSIR weights at {path} are invalid: {int(chk['n'])} rows, "
+            f"{int(chk['nb'])} distinct buckets — an empty or "
+            f"bucket-duplicated table scores silently wrong; retrain with "
+            f"save_weights")
+    return weights
 
 
 def duckdb_dsir_sql(table: str = "documents",

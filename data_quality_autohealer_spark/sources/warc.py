@@ -182,18 +182,33 @@ _ROBOTS_META_B = (r"(?is)<meta[^>]*content[ \t]*=[ \t]*[\"']?([^\"'>]*)"
 _XROBOTS_HDR = r"(?im)^x-robots-tag:[^\r\n]*"
 
 
+def _robots_directive_hit(joined: Column) -> Column:
+    """'noindex', or 'none' (which per the robots-meta spec implies
+    noindex — ADVICE r06) as a whole directive token."""
+    low = F.lower(joined)
+    return low.contains("noindex") | low.rlike(
+        r"(^|[ \t,;:])none([ \t,;:]|$)")
+
+
 def robots_noindex(payload: Column) -> Column:
     """True when the page asks not to be used: a robots meta tag whose
-    content contains ``noindex`` (either attribute order) or an
+    content says ``noindex`` (or ``none``, either attribute order) or an
     ``X-Robots-Tag`` response header saying so. Pure JVM regexps — one
-    projection, no Python in the hot path."""
+    projection, no Python in the hot path.
+
+    The header check runs ONLY on the pre-``\\r\\n\\r\\n`` HTTP header
+    block (ADVICE r06: a body line quoting the header — common in web
+    docs ABOUT the header — must not flag the page); the meta regexes run
+    on the body."""
     s = payload.cast("string")
+    header = F.regexp_extract(s, r"(?s)^(HTTP/.*?)\r\n\r\n", 1)
+    body = http_body(s)
     joined = F.concat_ws(
         " ",
-        F.regexp_extract(s, _ROBOTS_META_A, 1),
-        F.regexp_extract(s, _ROBOTS_META_B, 1),
-        F.regexp_extract(s, _XROBOTS_HDR, 0))
-    return F.lower(joined).contains("noindex")
+        F.regexp_extract(body, _ROBOTS_META_A, 1),
+        F.regexp_extract(body, _ROBOTS_META_B, 1),
+        F.regexp_extract(header, _XROBOTS_HDR, 0))
+    return _robots_directive_hit(joined)
 
 
 def html_payload_text(body: Column) -> Column:

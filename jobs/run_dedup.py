@@ -183,12 +183,25 @@ def main(argv: list[str] | None = None) -> dict:
                        "docs_out": n_nxt, "removed": n_cur - n_nxt})
         cur.unpersist()
         cur, n_cur = nxt, n_nxt
-        # 4. neardup
-        nxt, n_nxt = _materialize(dedup.neardup_dedup(
-            cur, text_col="text", id_col="url",
-            shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,
-            threshold=args.jaccard_threshold,
-            max_bucket_size=args.max_bucket_size).drop("bucket"))
+        # 4. neardup — honors --keep-best (ADVICE r06: the flag was
+        # silently ignored in full mode): survivors by best distilled-
+        # classifier score over the already-thinned corpus, else min-id
+        kwargs4 = dict(text_col="text", id_col="url",
+                       shingle_n=args.shingle_n, jaccard_n=args.jaccard_n,
+                       threshold=args.jaccard_threshold,
+                       max_bucket_size=args.max_bucket_size)
+        if args.keep_best:
+            from data_quality_autohealer_spark.operators import (
+                distill, scoring,
+            )
+            scores4 = distill.distill_quality_classifier_fast(
+                scoring.with_quality_signals_batched(cur), id_col="url",
+            ).select("url", "score_micro")
+            stage4 = dedup.neardup_dedup_keep_best(
+                cur, scores4, score_col="score_micro", **kwargs4)
+        else:
+            stage4 = dedup.neardup_dedup(cur, **kwargs4)
+        nxt, n_nxt = _materialize(stage4.drop("bucket"))
         stages.append({"stage": "neardup", "docs_in": n_cur,
                        "docs_out": n_nxt, "removed": n_cur - n_nxt})
         cur.unpersist()
