@@ -112,37 +112,49 @@ def _assign_gemm(pts: DataFrame, cents: list[list[float]]) -> DataFrame:
 _GEMM_ARGMIN_MARGIN = 1e-6
 
 
+def _py_fold_dist2(v, cj) -> float:
+    """Bit-identical Python twin of the SQL sequential fold
+    ``aggregate(zip_with(v, c, (x,y)->(x-y)*(x-y)), 0.0, +)``: plain
+    float arithmetic in the same order gives the same IEEE doubles."""
+    acc = 0.0
+    for x, y in zip(v, cj):
+        d = x - y
+        acc += d * d
+    return acc
+
+
 def _assign_exact_checked(pts: DataFrame,
                           cents: list[list[float]]) -> DataFrame:
-    """Exact-fold-equivalent assignment at GEMM speed: one BLAS pass per
-    batch yields each row's argmin AND its best-vs-second-best distance
-    gap; rows with a gap below :data:`_GEMM_ARGMIN_MARGIN` — where float64
-    accumulation order could in principle flip the winner — are re-assigned
-    by the interpreted sequential-fold path (:func:`_assign`, the oracle
-    semantics), everything else keeps the GEMM winner. np.argmin and the
-    fold case-chain both break ties toward the lowest cluster index."""
+    """Exact-fold-equivalent assignment at GEMM speed, ONE Arrow pass: a
+    BLAS matmul per batch yields each row's argmin and its
+    best-vs-second-best distance gap; only rows with a gap below
+    :data:`_GEMM_ARGMIN_MARGIN` — where float64 accumulation order could
+    in principle flip a ~1e-12 difference — are re-scored inside the same
+    batch with the bit-identical Python sequential fold (same IEEE
+    addition order as the SQL fold, same tie-to-lowest-index argmin), so
+    the output is exactly the oracle semantics with no second pass, no
+    union, no per-row interpreted folds."""
     c = np.asarray(cents, dtype=np.float64)
     cn = (c * c).sum(axis=1)
+    cl = [list(map(float, cj)) for cj in cents]
 
-    @F.pandas_udf("struct<cluster: int, margin: double>")
-    def _argmin_margin(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf("int")
+    def _argmin_checked(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batches:
             m = np.stack(vecs.to_numpy()).astype(np.float64)
             d = ((m * m).sum(axis=1)[:, None]
                  - 2.0 * (m @ c.T) + cn[None, :])
-            best = d.argmin(axis=1)
+            best = d.argmin(axis=1).astype("int32")
             part = np.partition(d, 1, axis=1)
-            yield pd.DataFrame({
-                "cluster": best.astype("int32"),
-                "margin": part[:, 1] - part[:, 0]})
+            for i in np.nonzero(
+                    part[:, 1] - part[:, 0] < _GEMM_ARGMIN_MARGIN)[0]:
+                v = [float(x) for x in m[i]]
+                dists = [_py_fold_dist2(v, cj) for cj in cl]
+                best[i] = dists.index(min(dists))
+            yield pd.Series(best, index=vecs.index, dtype="int32")
 
-    scored = pts.withColumn(
-        "_cm", _argmin_margin.asNondeterministic()(F.col("_v")))
-    sure = (scored.where(F.col("_cm.margin") >= _GEMM_ARGMIN_MARGIN)
-            .select(*pts.columns, F.col("_cm.cluster").alias("cluster")))
-    ambiguous = scored.where(
-        F.col("_cm.margin") < _GEMM_ARGMIN_MARGIN).drop("_cm")
-    return sure.unionByName(_assign(ambiguous, cents))
+    return pts.withColumn(
+        "cluster", _argmin_checked.asNondeterministic()(F.col("_v")))
 
 
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
