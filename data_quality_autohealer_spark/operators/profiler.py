@@ -175,19 +175,29 @@ def _exact_percentiles_fast(df: DataFrame, column: str,
     if set(val_at) != ranks:
         return None
 
-    out = []
+    # ONE interpolation job for every percentile that needs it: a tiny
+    # (group, value) frame with a per-group percentile aggregate — still
+    # Spark's own percentile code path (bit-identical arithmetic), one
+    # job instead of one per percentile
     spark = df.sparkSession
-    for p in ps:
-        lo_r, hi_r, pos = want[p]
-        if lo_r == hi_r:
-            out.append(val_at[lo_r])
-            continue
-        frac = pos - lo_r
-        two = spark.createDataFrame(
-            [(val_at[lo_r],), (val_at[hi_r],)], f"{column} double")
-        out.append(float(two.agg(F.expr(
-            f"percentile({column}, {frac!r})")).collect()[0][0]))
-    return out
+    interp = [(i, p) for i, p in enumerate(ps)
+              if want[p][0] != want[p][1]]
+    vals: dict[int, float] = {}
+    if interp:
+        rows2 = []
+        aggs = []
+        for i, p in interp:
+            lo_r, hi_r, pos = want[p]
+            rows2 += [(i, val_at[lo_r]), (i, val_at[hi_r])]
+            frac = pos - lo_r
+            aggs.append(F.expr(
+                f"percentile(case when grp = {i} then v end, {frac!r})"
+            ).alias(f"p{i}"))
+        got = spark.createDataFrame(rows2, "grp int, v double") \
+            .agg(*aggs).collect()[0]
+        vals = {i: float(got[f"p{i}"]) for i, _ in interp}
+    return [vals[i] if want[p][0] != want[p][1] else val_at[want[p][0]]
+            for i, p in enumerate(ps)]
 
 
 def iqr_outliers(df: DataFrame, column: str,
