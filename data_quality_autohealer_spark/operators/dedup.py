@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -953,9 +954,14 @@ def neardup_against_index(new_df: DataFrame, index_df: DataFrame,
             .where(F.col("jaccard") >= threshold))
 
 
+DEFAULT_CC_LOCAL_EDGES = int(os.environ.get(
+    "SPARK_GRAFT_CC_LOCAL_EDGES", "200000"))
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25,
                          checkpoint_dir: str | None = None,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_edge_cutoff: int | None = None) -> DataFrame:
     """Connected components of an undirected pair list via iterative
     min-label propagation WITH per-round path compression (pointer
     jumping): each node's label becomes the min over {its own label, its
@@ -980,6 +986,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
 
     Raises :class:`ComponentsNotConverged` if the fixpoint is not reached
     within ``max_iter`` rounds (never returns silently-wrong splits).
+
+    ``local_edge_cutoff``: near-dup edge lists are usually tiny relative
+    to the corpus (~5k pairs at sf1.0), and each distributed round costs
+    several scheduled jobs — pure overhead at that size. When the
+    materialized pair count is at or below the cutoff (default
+    ``SPARK_GRAFT_CC_LOCAL_EDGES`` = 200k, a bounded driver fence of the
+    same kind as the BPE word census and the distilled-classifier weight
+    collect), the pairs are collected once and resolved with an exact
+    driver-side union-find — identical (id, min-id comp) rows by
+    construction, equality-pinned against the distributed loop in
+    tests/test_neardup_chain.py. Larger edge lists always take the
+    distributed loop; pass ``0`` to force it (the non-convergence guard
+    only applies there — the local path always converges).
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -997,6 +1016,47 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     # neardup_groups query). Every round then joins against edges with
     # truncated lineage as before.
     pairs0 = _ckpt(pairs.select("id_a", "id_b"))
+    n_pairs = pairs0.count()
+    cutoff = (DEFAULT_CC_LOCAL_EDGES if local_edge_cutoff is None
+              else local_edge_cutoff)
+    if n_pairs <= cutoff:
+        # bounded driver fence (see docstring): exact union-find over the
+        # materialized pair list, then comp = min id per component — the
+        # same (id, comp) rows the distributed fixpoint converges to
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs0.collect():
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for v in parent:
+            root = _find(v)
+            if root not in comp_min or v < comp_min[root]:
+                comp_min[root] = v
+        out = [(v, comp_min[_find(v)]) for v in parent]
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["local"] = True
+        from pyspark.sql import types as T
+        id_type = pairs0.schema["id_a"].dataType
+        schema = T.StructType([T.StructField("id", id_type, True),
+                               T.StructField("comp", id_type, True)])
+        return pairs0.sparkSession.createDataFrame(out, schema)
+
     edges = _ckpt(
         pairs0.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs0.select(F.col("id_b").alias("src"),
@@ -1005,9 +1065,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     # (guide §2.2: near-dup edge lists are usually ≪ corpus — at sf1.0 the
     # chain yields ~5k edges, and running every round's joins over 32
     # shuffle partitions cost more in task scheduling than in work,
-    # measured ~6 s of a 12 s query). The count scans checkpointed blocks
-    # (cheap); the partition count scales back up with real edge volume.
-    n_edges = edges.count()
+    # measured ~6 s of a 12 s query). The symmetric union is exactly
+    # 2 × the materialized pair count (no distinct); the partition count
+    # scales back up with real edge volume.
+    n_edges = 2 * n_pairs
     parallelism = edges.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(parallelism, n_edges // 100_000 + 1))
     if parts < parallelism:

@@ -126,18 +126,47 @@ def test_components_path_graph_log_rounds(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(199)],
                                   "id_a long, id_b long")
     stats = {}
-    comp = dedup.connected_components(pairs, stats=stats)
+    # local_edge_cutoff=0 forces the distributed loop (the round-7 driver
+    # union-find fast path would otherwise absorb a graph this small)
+    comp = dedup.connected_components(pairs, stats=stats,
+                                      local_edge_cutoff=0)
     rows = comp.collect()
     assert len(rows) == 200
     assert {r["comp"] for r in rows} == {0}
     assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
 
 
+def test_components_local_equals_distributed(spark):
+    """The round-7 driver union-find fast path must return the identical
+    (id, comp) row set as the distributed fixpoint loop, on a graph mixing
+    a long path, a clique, self-loops, duplicate edges, and singleton
+    pairs."""
+    edges = ([(i, i + 1) for i in range(0, 40)]            # path
+             + [(100 + a, 100 + b) for a in range(5)
+                for b in range(a + 1, 5)]                  # clique
+             + [(200, 200), (300, 301), (300, 301), (301, 300),
+                (400, 401), (402, 401)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {(r["id"], r["comp"])
+             for r in dedup.connected_components(pairs).collect()}
+    dist_stats = {}
+    dist = {(r["id"], r["comp"])
+            for r in dedup.connected_components(
+                pairs, stats=dist_stats, local_edge_cutoff=0).collect()}
+    assert "local" not in dist_stats
+    assert local == dist
+    # schema parity: same column names and types on both paths
+    a = dedup.connected_components(pairs).schema
+    b = dedup.connected_components(pairs, local_edge_cutoff=0).schema
+    assert [(f.name, f.dataType) for f in a] == \
+        [(f.name, f.dataType) for f in b]
+
+
 def test_components_raise_on_non_convergence(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
                                   "id_a long, id_b long")
     with pytest.raises(dedup.ComponentsNotConverged):
-        dedup.connected_components(pairs, max_iter=1)
+        dedup.connected_components(pairs, max_iter=1, local_edge_cutoff=0)
 
 
 def test_components_reliable_checkpoint_dir(spark, tmp_path):
